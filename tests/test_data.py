@@ -1,0 +1,169 @@
+"""Data-layer tests: loader contract, adjacency semantics, batchers, walks."""
+
+import numpy as np
+import pytest
+
+from graphsage_tpu.data.adjacency import build_both_adjs, build_padded_adj
+from graphsage_tpu.data.io import load_data, standardize_features
+from graphsage_tpu.data.minibatch import EdgeBatcher, NodeBatcher
+from graphsage_tpu.data.synthetic import make_synthetic_graph, write_dataset
+from graphsage_tpu.data.walks import run_random_walks, write_walks, read_walks
+from graphsage_tpu.data.graph import degrees_from_neighbors, validate_graph
+
+
+def test_synthetic_graph_valid(toy_graph):
+    validate_graph(toy_graph)
+    assert toy_graph.num_classes == 3
+    assert toy_graph.labels.sum(axis=1).min() >= 1.0
+
+
+def test_roundtrip_through_disk(tmp_path, toy_graph):
+    prefix = str(tmp_path / "toy")
+    write_dataset(toy_graph, prefix)
+    loaded = load_data(prefix, normalize=False)
+    assert loaded.num_nodes == toy_graph.num_nodes
+    assert loaded.num_classes == toy_graph.num_classes
+    np.testing.assert_array_equal(loaded.is_val, toy_graph.is_val)
+    np.testing.assert_array_equal(loaded.is_test, toy_graph.is_test)
+    np.testing.assert_allclose(loaded.features, toy_graph.features, rtol=1e-6)
+    assert set(map(tuple, loaded.edges)) == set(
+        map(tuple, np.sort(toy_graph.edges, axis=1))
+    )
+    np.testing.assert_array_equal(loaded.labels, toy_graph.labels)
+
+
+def test_feature_normalization_uses_train_rows_only(toy_graph):
+    feats = toy_graph.features.copy()
+    train_mask = toy_graph.is_train
+    normed = standardize_features(feats, train_mask)
+    tr = feats[train_mask]
+    expect = (feats - tr.mean(0)) / np.where(tr.std(0) == 0, 1, tr.std(0))
+    np.testing.assert_allclose(normed, expect, rtol=1e-5)
+
+
+def test_padded_adj_semantics(toy_graph):
+    max_degree = 5
+    rng = np.random.default_rng(0)
+    adj, deg = build_padded_adj(toy_graph, max_degree, train=True, rng=rng)
+    n = toy_graph.num_nodes
+    assert adj.shape == (n + 1, max_degree)
+    assert adj.dtype == np.int32
+    # Dummy row points at dummy.
+    assert (adj[n] == n).all()
+    # Val/test nodes have zero train degree and all-dummy rows.
+    eval_nodes = np.flatnonzero(toy_graph.is_val | toy_graph.is_test)
+    assert (deg[eval_nodes] == 0).all()
+    assert (adj[eval_nodes] == n).all()
+    # Train rows contain only train neighbors (or dummy for isolated).
+    train_nbrs = toy_graph.train_neighbors()
+    for i in np.flatnonzero(toy_graph.is_train):
+        allowed = set(train_nbrs[i].tolist()) | {n}
+        assert set(adj[i].tolist()) <= allowed
+        if deg[i] >= max_degree:
+            # Without replacement: entries distinct.
+            assert len(set(adj[i].tolist())) == max_degree
+        if deg[i] > 0:
+            assert n not in set(adj[i].tolist())
+
+
+def test_full_adj_covers_all_nodes(toy_graph):
+    rng = np.random.default_rng(0)
+    adj, _ = build_padded_adj(toy_graph, 4, train=False, rng=rng)
+    n = toy_graph.num_nodes
+    for i in range(n):
+        if len(toy_graph.neighbors[i]) > 0:
+            assert set(adj[i].tolist()) <= set(
+                toy_graph.neighbors[i].tolist()
+            )
+
+
+def test_native_matches_python_semantics(toy_graph):
+    """The C++ and NumPy padders must agree on the support set of each row
+    (exact values differ: separate RNGs)."""
+    from graphsage_tpu.data import native
+
+    if not native.native_available():
+        pytest.skip("native library not built")
+    nbrs = toy_graph.neighbors
+    n = toy_graph.num_nodes
+    adj = native.native_pad_adjacency(nbrs, n, 6, seed=42)
+    assert adj.shape == (n + 1, 6)
+    assert (adj[n] == n).all()
+    for i in range(n):
+        if len(nbrs[i]) == 0:
+            assert (adj[i] == n).all()
+        else:
+            assert set(adj[i].tolist()) <= set(nbrs[i].tolist())
+            if len(nbrs[i]) >= 6:
+                assert len(set(adj[i].tolist())) == 6
+
+
+def test_node_batcher_covers_train_nodes(toy_graph):
+    _, deg, _ = build_both_adjs(toy_graph, 5)
+    b = NodeBatcher(toy_graph, deg, batch_size=16, seed=1)
+    seen = []
+    for batch in b.epoch():
+        assert batch.ids.shape == (16,)
+        assert batch.labels.shape == (16, 3)
+        real = batch.ids[batch.mask > 0]
+        seen.extend(real.tolist())
+    assert sorted(seen) == sorted(b.train_nodes.tolist())
+    # Padding uses the dummy id with mask zero.
+    last = list(b.epoch())[-1]
+    pad = last.ids[last.mask == 0]
+    assert (pad == toy_graph.num_nodes).all()
+
+
+def test_edge_batcher_train_and_val_split(toy_graph):
+    _, deg, _ = build_both_adjs(toy_graph, 5)
+    b = EdgeBatcher(toy_graph, deg, batch_size=32, seed=1)
+    # Every train pair endpoint has positive train degree.
+    assert (deg[b.train_pairs] > 0).all()
+    # Val pairs are exactly the train_removed edges.
+    assert set(map(tuple, b.val_pairs)) == set(
+        map(tuple, toy_graph.edges[toy_graph.train_removed])
+    )
+    count = 0
+    for batch in b.epoch():
+        assert batch.batch1.shape == (32,)
+        count += int(batch.mask.sum())
+    assert count == len(b.train_pairs)
+
+
+def test_edge_batcher_embed_batches(toy_graph):
+    _, deg, _ = build_both_adjs(toy_graph, 5)
+    b = EdgeBatcher(toy_graph, deg, batch_size=50, seed=1)
+    nodes = []
+    for batch in b.embed_batches():
+        real = batch.batch1[batch.mask > 0]
+        nodes.extend(real.tolist())
+    assert nodes == list(range(toy_graph.num_nodes))
+
+
+def test_random_walks_emit_cooccurrence(toy_graph):
+    train_nbrs = toy_graph.train_neighbors()
+    deg = degrees_from_neighbors(train_nbrs)
+    starts = np.flatnonzero(toy_graph.is_train & (deg > 0))
+    pairs = run_random_walks(
+        train_nbrs, starts, num_walks=3, walk_len=4,
+        rng=np.random.default_rng(5),
+    )
+    assert pairs.shape[1] == 2
+    assert len(pairs) > 0
+    # No self pairs; all endpoints are train nodes.
+    assert (pairs[:, 0] != pairs[:, 1]).all()
+    assert toy_graph.is_train[pairs.ravel()].all()
+
+
+def test_walks_file_roundtrip(tmp_path, toy_graph):
+    train_nbrs = toy_graph.train_neighbors()
+    deg = degrees_from_neighbors(train_nbrs)
+    starts = np.flatnonzero(toy_graph.is_train & (deg > 0))[:10]
+    pairs = run_random_walks(
+        train_nbrs, starts, num_walks=2, walk_len=3,
+        rng=np.random.default_rng(5),
+    )
+    path = str(tmp_path / "toy-walks.txt")
+    write_walks(path, pairs, toy_graph.node_ids)
+    back = read_walks(path, toy_graph.id2idx)
+    np.testing.assert_array_equal(back, pairs)
