@@ -1,0 +1,43 @@
+"""On-device uniform neighbor sampling over the padded adjacency.
+
+The reference samples by gathering adjacency rows, shuffling the *columns*
+with one shared permutation per call, and slicing the first ``num_samples``
+(/root/reference/graphsage/neigh_samplers.py:24-29) — i.e. every node in
+the batch shares the same column permutation. That is a quirk, not the
+paper's semantics. We default to true per-node independent sampling
+(``mode="independent"``) and keep ``mode="shared_perm"`` for reference-
+parity experiments.
+
+Because padded rows re-sample neighbors *with replacement* when
+deg < max_degree (adjacency.py), a uniform column draw is a uniform draw
+over the node's neighbor multiset in both modes.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def uniform_sample(rng, adj, ids, num_samples: int, mode: str = "independent"):
+    """Sample ``num_samples`` neighbors for each id.
+
+    Args:
+      rng: PRNG key.
+      adj: [N+1, max_degree] int32 padded adjacency.
+      ids: [n] int32 node indices.
+      num_samples: static fanout.
+      mode: "independent" (per-node draws) or "shared_perm" (reference).
+
+    Returns:
+      [n, num_samples] int32 neighbor indices.
+    """
+    rows = jnp.take(adj, ids, axis=0)  # [n, D]
+    max_degree = adj.shape[1]
+    if mode == "shared_perm":
+        perm = jax.random.permutation(rng, max_degree)
+        return rows[:, perm[:num_samples]]
+    cols = jax.random.randint(
+        rng, (ids.shape[0], num_samples), 0, max_degree, dtype=jnp.int32
+    )
+    return jnp.take_along_axis(rows, cols, axis=1)
