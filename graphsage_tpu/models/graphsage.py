@@ -1,0 +1,233 @@
+"""The GraphSAGE core: fanout sampling + the hop-pyramid aggregation fold.
+
+TPU-native re-design of the reference's SampleAndAggregate.sample /
+.aggregate (/root/reference/graphsage/models.py:254-330): the whole
+frontier expansion and the layer-by-layer fold are pure functions of
+(params, features, adj, ids, rng) with static shapes — one XLA program,
+no host round-trips.
+
+Frontier-order semantics (matching models.py:268-274): with layer_infos
+[(S1, d1), (S2, d2)], the *first* expansion samples S2 neighbors of the
+batch and the second samples S1 neighbors of those, so the flat frontier
+arrays have sizes [B], [B*S2], [B*S2*S1]. The aggregation pyramid then
+folds from the outside in, reusing one aggregator's parameters across all
+hops of a layer (models.py:303-329).
+
+Dimension bookkeeping (models.py:305, 322): with ``concat=True``, every
+layer output is 2x its nominal output_dim and ``dim_mult = 2`` enters all
+subsequent input dims; the last layer uses the identity activation
+(models.py:307-310).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+from graphsage_tpu.nn.aggregators import (
+    apply_aggregator,
+    decay_weights,
+    init_aggregator,
+)
+from graphsage_tpu.nn.init import glorot
+from graphsage_tpu.nn.sampler import uniform_sample
+
+
+@dataclasses.dataclass(frozen=True)
+class LayerInfo:
+    """Per-layer fanout + output dim (reference SAGEInfo, models.py:180-185)."""
+
+    num_samples: int
+    output_dim: int
+
+
+@dataclasses.dataclass(frozen=True)
+class SAGEConfig:
+    layers: tuple          # tuple[LayerInfo, ...]
+    feature_dim: int       # raw feature dim (0 in featureless mode)
+    aggregator: str = "mean"
+    concat: bool = True
+    model_size: str = "small"
+    identity_dim: int = 0  # >0 adds a trainable [N+1, id_dim] table
+    num_nodes: int = 0     # N (for the identity table; row N is the dummy)
+    dropout: float = 0.0
+    sampler_mode: str = "independent"  # or "shared_perm"
+
+    @property
+    def input_dim(self) -> int:
+        return self.feature_dim + self.identity_dim
+
+    @property
+    def dims(self) -> tuple:
+        """[input_dim, d1, d2, ...] like the reference's self.dims."""
+        return (self.input_dim,) + tuple(li.output_dim for li in self.layers)
+
+    @property
+    def fanouts(self) -> tuple:
+        return tuple(li.num_samples for li in self.layers)
+
+    @property
+    def output_dim(self) -> int:
+        mult = 2 if self.concat else 1
+        return mult * self.layers[-1].output_dim
+
+    def agg_input_dim(self, layer: int) -> int:
+        mult = 2 if self.concat and layer != 0 else 1
+        return mult * self.dims[layer]
+
+
+def init_sage_params(key, config: SAGEConfig) -> dict:
+    """Parameter pytree: {'aggs': [per-layer agg params], 'embeds'?: table}."""
+    n_layers = len(config.layers)
+    keys = jax.random.split(key, n_layers + 1)
+    aggs = []
+    for layer in range(n_layers):
+        aggs.append(
+            init_aggregator(
+                config.aggregator,
+                keys[layer],
+                config.agg_input_dim(layer),
+                config.dims[layer + 1],
+                model_size=config.model_size,
+            )
+        )
+    params = {"aggs": aggs}
+    if config.identity_dim > 0:
+        # tf.get_variable default init is glorot-uniform (models.py:229-230).
+        params["embeds"] = glorot(
+            keys[-1], (config.num_nodes + 1, config.identity_dim)
+        )
+    return params
+
+
+def sample_frontier(
+    rng,
+    adj,
+    ids,
+    fanouts: Sequence[int],
+    mode: str = "independent",
+):
+    """Expand the fanout pyramid; returns flat index arrays
+    [B], [B*S_k], [B*S_k*S_{k-1}], ... (reference sample(), models.py:254-275).
+    """
+    n_layers = len(fanouts)
+    samples = [ids]
+    keys = jax.random.split(rng, n_layers)
+    for k in range(n_layers):
+        t = n_layers - k - 1
+        nxt = uniform_sample(keys[k], adj, samples[k], fanouts[t], mode=mode)
+        samples.append(nxt.reshape(-1))
+    return samples
+
+
+def gather_features(params, features, idx, config: SAGEConfig):
+    """Per-frontier feature gather, concatenating the trainable identity
+    embedding when configured (reference models.py:229-240)."""
+    parts = []
+    if config.identity_dim > 0:
+        parts.append(jnp.take(params["embeds"], idx, axis=0))
+    if features is not None and config.feature_dim > 0:
+        parts.append(jnp.take(features, idx, axis=0))
+    if len(parts) == 1:
+        return parts[0]
+    return jnp.concatenate(parts, axis=1)
+
+
+def aggregate_pyramid(
+    params,
+    hidden: list,
+    batch_size: int,
+    config: SAGEConfig,
+    rng=None,
+    deterministic: bool = True,
+):
+    """Fold the hop pyramid (reference aggregate(), models.py:278-330).
+
+    ``hidden[h]`` is the feature matrix of frontier h; after layer L-1 only
+    ``hidden[0]`` remains — the batch embeddings.
+    """
+    n_layers = len(config.layers)
+    fanouts = config.fanouts
+    dims = config.dims
+    concat = config.concat
+
+    support = [1]
+    for k in range(n_layers):
+        support.append(support[-1] * fanouts[n_layers - k - 1])
+
+    for layer in range(n_layers):
+        agg_params = params["aggs"][layer]
+        is_last = layer == n_layers - 1
+        act = (lambda x: x) if is_last else jax.nn.relu
+        dim_mult = 2 if concat and layer != 0 else 1
+        next_hidden = []
+        for hop in range(n_layers - layer):
+            if rng is not None:
+                hop_rng = jax.random.fold_in(
+                    jax.random.fold_in(rng, layer), hop
+                )
+            else:
+                hop_rng = None
+            neigh = hidden[hop + 1].reshape(
+                batch_size * support[hop],
+                fanouts[n_layers - hop - 1],
+                dim_mult * dims[layer],
+            )
+            h = apply_aggregator(
+                config.aggregator,
+                agg_params,
+                hidden[hop],
+                neigh,
+                act=act,
+                concat=concat,
+                dropout_rate=config.dropout,
+                rng=hop_rng,
+                deterministic=deterministic,
+            )
+            next_hidden.append(h)
+        hidden = next_hidden
+    return hidden[0]
+
+
+def sage_embed(
+    params,
+    features,
+    adj,
+    ids,
+    rng,
+    config: SAGEConfig,
+    deterministic: bool = True,
+):
+    """Full sample -> gather -> aggregate forward: [B] ids -> [B, out] raw
+    (un-normalized) embeddings."""
+    sample_rng, drop_rng = jax.random.split(rng)
+    samples = sample_frontier(
+        sample_rng, adj, ids, config.fanouts, mode=config.sampler_mode
+    )
+    hidden = [gather_features(params, features, s, config) for s in samples]
+    return aggregate_pyramid(
+        params,
+        hidden,
+        ids.shape[0],
+        config,
+        rng=None if deterministic else drop_rng,
+        deterministic=deterministic,
+    )
+
+
+def sage_decay_weights(params, config: SAGEConfig):
+    """Weights subject to weight decay: each aggregator's own projection
+    vars (reference models.py:385-388)."""
+    out = []
+    for agg in params["aggs"]:
+        out.extend(decay_weights(config.aggregator, agg))
+    return out
+
+
+def l2_normalize(x, axis=1, eps=1e-12):
+    """tf.nn.l2_normalize semantics (models.py:368-370)."""
+    norm = jnp.sqrt(jnp.maximum(jnp.sum(x * x, axis=axis, keepdims=True), eps))
+    return x / norm

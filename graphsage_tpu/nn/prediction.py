@@ -37,7 +37,7 @@ def neg_cost(x1, neg, params=None):
     return jnp.dot(x1, neg.T, preferred_element_type=jnp.float32)
 
 
-def _sigmoid_xent(labels, logits):
+def sigmoid_xent(labels, logits):
     # tf.nn.sigmoid_cross_entropy_with_logits
     return jnp.maximum(logits, 0) - logits * labels + jnp.log1p(
         jnp.exp(-jnp.abs(logits))
@@ -46,8 +46,8 @@ def _sigmoid_xent(labels, logits):
 
 def xent_loss(aff, neg_aff, mask=None, neg_sample_weights: float = 1.0):
     """sum(xent(pos,1)) + w * sum(xent(neg,0)) (prediction.py:102-110)."""
-    true_xent = _sigmoid_xent(jnp.ones_like(aff), aff)
-    neg_xent = _sigmoid_xent(jnp.zeros_like(neg_aff), neg_aff)
+    true_xent = sigmoid_xent(jnp.ones_like(aff), aff)
+    neg_xent = sigmoid_xent(jnp.zeros_like(neg_aff), neg_aff)
     if mask is not None:
         true_xent = true_xent * mask
         neg_xent = neg_xent * mask[:, None]
