@@ -1,0 +1,123 @@
+"""Headline benchmark: supervised GraphSAGE-mean train-step throughput.
+
+Reddit-shaped workload at the reference's default perf contract
+(/root/reference/graphsage/supervised_train.py:32-57): batch 512,
+fanout 25/10, dims 128/128, max_degree 128, 602-dim features, 41
+classes, softmax head. The metric is sampled-edges aggregated per
+second: batch * (S2 + S2*S1) neighbor gathers per step.
+
+``vs_baseline`` divides by REFERENCE_EDGES_PER_SEC — the TF1 reference
+publishes no numbers (BASELINE.md), so this is an estimated TF-GPU
+step rate (~2M edges/s at ~70ms/step on the same shape), recorded here
+so the ratio is reproducible and honest about its provenance.
+
+Prints exactly one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REFERENCE_EDGES_PER_SEC = 2.0e6  # estimated TF1-GPU reference; see docstring
+
+NUM_NODES = 100_000
+FEAT_DIM = 602
+NUM_CLASSES = 41
+MAX_DEGREE = 128
+BATCH = 512
+FANOUTS = (25, 10)
+DIMS = (128, 128)
+WARMUP = 3
+ITERS = 20
+
+
+def build():
+    from graphsage_tpu.models.graphsage import LayerInfo, SAGEConfig
+    from graphsage_tpu.models.supervised import (
+        SupervisedConfig,
+        init_supervised_params,
+        make_optimizer,
+        supervised_loss,
+    )
+
+    sage = SAGEConfig(
+        layers=(LayerInfo(FANOUTS[0], DIMS[0]), LayerInfo(FANOUTS[1], DIMS[1])),
+        feature_dim=FEAT_DIM,
+        aggregator="mean",
+        concat=True,
+    )
+    config = SupervisedConfig(sage=sage, num_classes=NUM_CLASSES,
+                              sigmoid_loss=False, weight_decay=0.0)
+
+    rng = np.random.default_rng(0)
+    features = jnp.asarray(
+        np.vstack([
+            rng.standard_normal((NUM_NODES, FEAT_DIM)).astype(np.float32),
+            np.zeros((1, FEAT_DIM), dtype=np.float32),
+        ])
+    )
+    adj = jnp.asarray(
+        rng.integers(0, NUM_NODES, (NUM_NODES + 1, MAX_DEGREE), dtype=np.int32)
+    )
+    labels_idx = rng.integers(0, NUM_CLASSES, (BATCH,))
+    labels = jnp.asarray(np.eye(NUM_CLASSES, dtype=np.float32)[labels_idx])
+    mask = jnp.ones((BATCH,), dtype=jnp.float32)
+    ids = jnp.asarray(rng.integers(0, NUM_NODES, (BATCH,), dtype=np.int32))
+
+    params = init_supervised_params(jax.random.key(0), config)
+    optimizer = make_optimizer(1e-2)
+    opt_state = optimizer.init(params)
+
+    import optax
+
+    # features/adj are step ARGUMENTS, not closure captures: captured
+    # concrete arrays would be baked into the HLO as 240MB of constants
+    # (and reject under remote-compile payload limits).
+    def step(params, opt_state, rng_key, features, adj, ids, labels, mask):
+        (loss, logits), grads = jax.value_and_grad(
+            supervised_loss, has_aux=True
+        )(params, features, adj, ids, labels, mask, rng_key, config,
+          deterministic=False)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return (jax.jit(step, donate_argnums=(0, 1)), params, opt_state,
+            features, adj, ids, labels, mask)
+
+
+def main():
+    step, params, opt_state, features, adj, ids, labels, mask = build()
+    key = jax.random.key(1)
+
+    for i in range(WARMUP):
+        key, sub = jax.random.split(key)
+        params, opt_state, loss = step(params, opt_state, sub, features, adj,
+                                       ids, labels, mask)
+    jax.block_until_ready(loss)
+
+    t0 = time.perf_counter()
+    for i in range(ITERS):
+        key, sub = jax.random.split(key)
+        params, opt_state, loss = step(params, opt_state, sub, features, adj,
+                                       ids, labels, mask)
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+
+    edges_per_step = BATCH * (FANOUTS[1] + FANOUTS[1] * FANOUTS[0])
+    edges_per_sec = edges_per_step * ITERS / dt
+    print(json.dumps({
+        "metric": "supervised_train_edges_per_sec",
+        "value": round(edges_per_sec, 1),
+        "unit": "edges/s/chip",
+        "vs_baseline": round(edges_per_sec / REFERENCE_EDGES_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,151 @@
+"""Command-line interface.
+
+``graphsage supervised|unsupervised|walks ...`` reproduces the reference
+entry points (python -m graphsage.supervised_train /
+graphsage.unsupervised_train / graphsage.utils) with the same flag names
+and defaults (supervised_train.py:28-57, unsupervised_train.py:25-55,
+utils.py:94-104), as one typed argparse surface.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import sys
+
+from graphsage_tpu.train.config import (
+    SUPERVISED_MODELS,
+    TrainFlags,
+    UNSUPERVISED_MODELS,
+)
+
+
+def _add_common(p: argparse.ArgumentParser, defaults: TrainFlags):
+    d = defaults
+    p.add_argument("--train_prefix", required=True,
+                   help="prefix identifying training data")
+    p.add_argument("--learning_rate", type=float, default=d.learning_rate)
+    p.add_argument("--model_size", choices=("small", "big"),
+                   default=d.model_size)
+    p.add_argument("--epochs", type=int, default=d.epochs)
+    p.add_argument("--dropout", type=float, default=d.dropout)
+    p.add_argument("--weight_decay", type=float, default=d.weight_decay)
+    p.add_argument("--max_degree", type=int, default=d.max_degree)
+    p.add_argument("--samples_1", type=int, default=d.samples_1)
+    p.add_argument("--samples_2", type=int, default=d.samples_2)
+    p.add_argument("--dim_1", type=int, default=d.dim_1)
+    p.add_argument("--dim_2", type=int, default=d.dim_2)
+    p.add_argument("--random_context", action=argparse.BooleanOptionalAction,
+                   default=d.random_context)
+    p.add_argument("--batch_size", type=int, default=d.batch_size)
+    p.add_argument("--identity_dim", type=int, default=d.identity_dim)
+    p.add_argument("--base_log_dir", default=d.base_log_dir)
+    p.add_argument("--validate_iter", type=int, default=d.validate_iter)
+    p.add_argument("--validate_batch_size", type=int,
+                   default=d.validate_batch_size)
+    p.add_argument("--print_every", type=int, default=d.print_every)
+    p.add_argument("--max_total_steps", type=int, default=d.max_total_steps)
+    # TPU-native additions
+    p.add_argument("--seed", type=int, default=d.seed)
+    p.add_argument("--checkpoint_dir", default=d.checkpoint_dir)
+    p.add_argument("--checkpoint_every", type=int, default=d.checkpoint_every)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--profile_dir", default=d.profile_dir)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(prog="graphsage")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    sup_defaults = TrainFlags()
+    p_sup = sub.add_parser("supervised", help="supervised node classification")
+    p_sup.add_argument("--model", choices=SUPERVISED_MODELS,
+                       default="graphsage_mean")
+    p_sup.add_argument("--samples_3", type=int, default=0)
+    p_sup.add_argument("--sigmoid", action="store_true",
+                       help="use sigmoid (multilabel) loss")
+    _add_common(p_sup, sup_defaults)
+
+    unsup_defaults = TrainFlags(
+        learning_rate=0.00001, epochs=1, max_degree=100, print_every=50
+    )
+    p_unsup = sub.add_parser("unsupervised",
+                             help="unsupervised embedding training")
+    p_unsup.add_argument("--model", choices=UNSUPERVISED_MODELS,
+                         default="graphsage_mean")
+    p_unsup.add_argument("--neg_sample_size", type=int, default=20)
+    p_unsup.add_argument("--n2v_test_epochs", type=int, default=1)
+    p_unsup.add_argument(
+        "--save_embeddings", action=argparse.BooleanOptionalAction,
+        default=True)
+    _add_common(p_unsup, unsup_defaults)
+
+    p_eval = sub.add_parser(
+        "eval", help="logistic-regression eval of saved embeddings "
+        "(reference eval_scripts/)")
+    p_eval.add_argument("train_prefix", help="dataset prefix")
+    p_eval.add_argument("embed_dir",
+                        help="directory with val.npy/val.txt, or 'feat'")
+    p_eval.add_argument("setting", choices=("val", "test"))
+    p_eval.add_argument("--seed", type=int, default=1)
+
+    p_walks = sub.add_parser("walks", help="generate random-walk pairs "
+                             "(reference utils.py:94-104)")
+    p_walks.add_argument("graph_file", help="<prefix>-G.json path")
+    p_walks.add_argument("out_file")
+    p_walks.add_argument("--num_walks", type=int, default=50)
+    p_walks.add_argument("--walk_len", type=int, default=5)
+    p_walks.add_argument("--seed", type=int, default=123)
+    return parser
+
+
+def _flags_from_args(args, defaults: TrainFlags) -> TrainFlags:
+    field_names = {f.name for f in dataclasses.fields(TrainFlags)}
+    vals = {k: v for k, v in vars(args).items() if k in field_names}
+    return dataclasses.replace(defaults, **vals)
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.command == "supervised":
+        from graphsage_tpu.train.supervised import train
+
+        train(_flags_from_args(args, TrainFlags()))
+    elif args.command == "unsupervised":
+        from graphsage_tpu.train.unsupervised import train
+
+        train(_flags_from_args(
+            args,
+            TrainFlags(learning_rate=0.00001, epochs=1, max_degree=100,
+                       print_every=50),
+        ))
+    elif args.command == "eval":
+        from graphsage_tpu.evaluation import evaluate_embeddings
+
+        evaluate_embeddings(args.train_prefix, args.embed_dir, args.setting,
+                            seed=args.seed)
+    elif args.command == "walks":
+        import numpy as np
+
+        from graphsage_tpu.data.io import load_data
+        from graphsage_tpu.data.walks import run_random_walks, write_walks
+
+        prefix = args.graph_file[: -len("-G.json")]
+        graph = load_data(prefix, normalize=False)
+        # reference: walks run on the train-node subgraph (utils.py:97-103)
+        is_train = graph.is_train
+        nodes = np.flatnonzero(is_train)
+        sub_neighbors = [
+            nbrs[is_train[nbrs]] if is_train[i] else nbrs[:0]
+            for i, nbrs in enumerate(graph.neighbors)
+        ]
+        pairs = run_random_walks(
+            sub_neighbors, nodes, num_walks=args.num_walks,
+            walk_len=args.walk_len, rng=np.random.default_rng(args.seed),
+        )
+        write_walks(args.out_file, pairs, graph.node_ids)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -55,6 +55,7 @@ class SAGEConfig:
     num_nodes: int = 0     # N (for the identity table; row N is the dummy)
     dropout: float = 0.0
     sampler_mode: str = "independent"  # or "shared_perm"
+    fused_gather: bool = False  # Pallas gather+mean for the innermost hop
 
     @property
     def input_dim(self) -> int:
@@ -143,11 +144,16 @@ def aggregate_pyramid(
     config: SAGEConfig,
     rng=None,
     deterministic: bool = True,
+    last_hop_neigh_mean=None,
 ):
     """Fold the hop pyramid (reference aggregate(), models.py:278-330).
 
     ``hidden[h]`` is the feature matrix of frontier h; after layer L-1 only
     ``hidden[0]`` remains — the batch embeddings.
+
+    ``last_hop_neigh_mean``: optional pre-reduced [B*support, F] neighbor
+    mean for the innermost hop (layer 0's outermost agg call), produced by
+    the fused Pallas gather-mean — ``hidden[-1]`` may then be None.
     """
     n_layers = len(config.layers)
     fanouts = config.fanouts
@@ -171,11 +177,15 @@ def aggregate_pyramid(
                 )
             else:
                 hop_rng = None
-            neigh = hidden[hop + 1].reshape(
-                batch_size * support[hop],
-                fanouts[n_layers - hop - 1],
-                dim_mult * dims[layer],
-            )
+            if (layer == 0 and hop == n_layers - 1
+                    and last_hop_neigh_mean is not None):
+                neigh = last_hop_neigh_mean  # [B*support, F], pre-reduced
+            else:
+                neigh = hidden[hop + 1].reshape(
+                    batch_size * support[hop],
+                    fanouts[n_layers - hop - 1],
+                    dim_mult * dims[layer],
+                )
             h = apply_aggregator(
                 config.aggregator,
                 agg_params,
@@ -207,7 +217,33 @@ def sage_embed(
     samples = sample_frontier(
         sample_rng, adj, ids, config.fanouts, mode=config.sampler_mode
     )
-    hidden = [gather_features(params, features, s, config) for s in samples]
+
+    # Fused fast path: the innermost-hop gather is the bandwidth hot spot
+    # ([B*prod(fanouts), F]); for the mean aggregator with no neighbor
+    # dropout its only use is a mean, which the Pallas kernel computes
+    # without materializing the gather (ops/gather.py).
+    use_fused = (
+        config.fused_gather
+        and config.aggregator == "mean"
+        and config.identity_dim == 0
+        and features is not None
+        and (deterministic or config.dropout == 0.0)
+    )
+    last_mean = None
+    if use_fused:
+        from graphsage_tpu.ops.gather import fused_gather_mean
+
+        inner_fanout = config.fanouts[0]
+        idx2 = samples[-1].reshape(-1, inner_fanout)
+        last_mean = fused_gather_mean(features, idx2)
+        hidden = [
+            gather_features(params, features, s, config)
+            for s in samples[:-1]
+        ] + [None]
+    else:
+        hidden = [
+            gather_features(params, features, s, config) for s in samples
+        ]
     return aggregate_pyramid(
         params,
         hidden,
@@ -215,6 +251,7 @@ def sage_embed(
         config,
         rng=None if deterministic else drop_rng,
         deterministic=deterministic,
+        last_hop_neigh_mean=last_mean,
     )
 
 

@@ -65,10 +65,16 @@ def init_mean(key, input_dim, output_dim, model_size="small", bias=False):
 
 def apply_mean(params, self_vecs, neigh_vecs, *, act, concat,
                dropout_rate=0.0, rng=None, deterministic=True):
+    """``neigh_vecs`` is [n, S, d] — or an already-reduced [n, d] mean
+    (the fused gather-mean fast path; only valid with dropout=0 since the
+    reference drops out individual neighbor vectors pre-mean)."""
     r1, r2 = _split(rng, 2)
     neigh_vecs = dropout(r1, neigh_vecs, dropout_rate, deterministic)
     self_vecs = dropout(r2, self_vecs, dropout_rate, deterministic)
-    neigh_means = jnp.mean(neigh_vecs, axis=1)
+    if neigh_vecs.ndim == 2:
+        neigh_means = neigh_vecs
+    else:
+        neigh_means = jnp.mean(neigh_vecs, axis=1)
     from_neighs = jnp.dot(neigh_means, params["neigh_w"],
                           preferred_element_type=jnp.float32)
     from_self = jnp.dot(self_vecs, params["self_w"],

@@ -1,0 +1,129 @@
+"""Fused embedding-gather + neighbor-mean Pallas kernel.
+
+Replaces the XLA pattern ``features[idx].reshape(B, S, F).mean(1)`` —
+which writes a [B*S, F] gather to HBM and immediately re-reads it — with
+one kernel that DMAs each sampled feature row HBM→VMEM and accumulates
+the mean on-chip. HBM write traffic for the innermost hop drops from
+B*S*F to B*F (the reference's TF equivalent is the embedding_lookup at
+/root/reference/graphsage/models.py:299 feeding reduce_mean at
+aggregators.py:53).
+
+Design (pallas_guide.md: PrefetchScalarGridSpec + double buffering):
+  * grid over row-tiles of the output [B, F]
+  * neighbor indices are scalar-prefetched into SMEM so the kernel can
+    issue feature-row DMAs before compute
+  * per output row, S row-DMAs land in a [S, F] VMEM scratch; two such
+    scratch buffers pipeline row i+1's DMAs against row i's reduction
+  * backward = scatter-add of grad/S — left to XLA (only the trainable
+    identity-embedding table ever needs it)
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def gather_mean_reference(features, idx):
+    """XLA reference: mean of features[idx] over the sample axis.
+
+    features: [N, F]; idx: [B, S] int32 -> [B, F].
+    """
+    return jnp.take(features, idx, axis=0).mean(axis=1)
+
+
+TILE_B = 8  # output rows per grid step (Pallas sublane minimum for f32)
+
+
+def _gather_mean_kernel(idx_ref, feat_ref, out_ref, scratch, sems,
+                        *, S, F, tile_b):
+    """One grid step computes TILE_B output rows (out block [tile_b, F]).
+
+    feat_ref is viewed as [N, 1, F] and scratch as [2, tile_b*S, 1, F] so
+    every DMA moves a (1, F) block that exactly spans the last two dims —
+    single-row slices of a [N, F] array violate Mosaic's 8-sublane tiling.
+    """
+    t = pl.program_id(0)
+    n_tiles = pl.num_programs(0)
+
+    def issue(tile, slot):
+        for r in range(tile_b):
+            for s in range(S):
+                pltpu.make_async_copy(
+                    feat_ref.at[idx_ref[tile * tile_b + r, s]],
+                    scratch.at[slot, r * S + s],
+                    sems.at[slot, r * S + s],
+                ).start()
+
+    def wait(slot):
+        for k in range(tile_b * S):
+            pltpu.make_async_copy(
+                feat_ref.at[0], scratch.at[slot, k], sems.at[slot, k]
+            ).wait()
+
+    slot = jax.lax.rem(t, 2)
+
+    @pl.when(t == 0)
+    def _():
+        issue(0, 0)
+
+    @pl.when(t + 1 < n_tiles)
+    def _():
+        issue(t + 1, jax.lax.rem(t + 1, 2))
+
+    wait(slot)
+    block = scratch[slot].astype(jnp.float32).reshape(tile_b, S, F)
+    out_ref[:, :] = jnp.sum(block, axis=1) * (1.0 / S)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_gather_mean(features, idx, interpret: bool = False):
+    """[B, F] = mean_s features[idx[b, s]] without materializing [B*S, F].
+
+    features: [N, F] float32/bfloat16 (HBM-resident), idx: [B, S] int32.
+    Output is float32. B is padded to a multiple of TILE_B internally.
+    """
+    B, S = idx.shape
+    N, F = features.shape
+    pad = (-B) % TILE_B
+    if pad:
+        idx = jnp.concatenate(
+            [idx, jnp.zeros((pad, S), dtype=idx.dtype)], axis=0
+        )
+    Bp = B + pad
+    n_tiles = Bp // TILE_B
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(
+            (TILE_B, F), lambda t, idx_ref: (t, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, TILE_B * S, 1, F), features.dtype),
+            pltpu.SemaphoreType.DMA((2, TILE_B * S)),
+        ],
+    )
+    kernel = functools.partial(
+        _gather_mean_kernel, S=S, F=F, tile_b=TILE_B
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Bp, F), jnp.float32),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=Bp * S * F,
+            bytes_accessed=Bp * S * F * features.dtype.itemsize + Bp * F * 4,
+            transcendentals=0,
+        ),
+    )(idx, features.reshape(N, 1, F))
+    return out[:B] if pad else out

@@ -1,0 +1,107 @@
+"""Typed training configuration mirroring the reference flag surface.
+
+One dataclass covers both trainers' tf.app.flags
+(/root/reference/graphsage/supervised_train.py:28-57,
+unsupervised_train.py:25-55) 1:1 as the CLI contract, plus the
+TPU-native additions (mesh shape, dtype, checkpointing) the reference
+lacks.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+# model names accepted by the reference dispatchers
+SUPERVISED_MODELS = (
+    "graphsage_mean", "gcn", "graphsage_seq", "graphsage_maxpool",
+    "graphsage_meanpool",
+)
+UNSUPERVISED_MODELS = SUPERVISED_MODELS + ("n2v",)
+
+# model name -> (aggregator, concat) (supervised_train.py:150-239)
+MODEL_AGGREGATORS = {
+    "graphsage_mean": ("mean", True),
+    "gcn": ("gcn", False),
+    "graphsage_seq": ("seq", True),
+    "graphsage_maxpool": ("maxpool", True),
+    "graphsage_meanpool": ("meanpool", True),
+}
+
+
+@dataclasses.dataclass
+class TrainFlags:
+    # core params
+    model: str = "graphsage_mean"
+    learning_rate: float = 0.01
+    model_size: str = "small"
+    train_prefix: str = ""
+
+    # defaults in main experiments
+    epochs: int = 10
+    dropout: float = 0.0
+    weight_decay: float = 0.0
+    max_degree: int = 128
+    samples_1: int = 25
+    samples_2: int = 10
+    samples_3: int = 0          # 3rd layer, graphsage_mean only (supervised)
+    dim_1: int = 128
+    dim_2: int = 128
+    random_context: bool = True
+    neg_sample_size: int = 20   # unsupervised only
+    batch_size: int = 512
+    n2v_test_epochs: int = 1    # unsupervised n2v retrain
+    sigmoid: bool = False       # supervised only
+    identity_dim: int = 0
+
+    # logging / validation
+    save_embeddings: bool = True  # unsupervised only
+    base_log_dir: str = "."
+    validate_iter: int = 5000
+    validate_batch_size: int = 256
+    print_every: int = 5
+    max_total_steps: int = 10**10
+
+    # TPU-native additions (no reference equivalent)
+    seed: int = 123
+    n_model_shards: int = 1     # feature-dim tensor parallelism
+    checkpoint_dir: str = ""    # orbax checkpoint root ("" = disabled)
+    checkpoint_every: int = 0   # steps; 0 = only at end
+    resume: bool = False
+    profile_dir: str = ""       # jax.profiler trace output
+
+    def log_dir(self, task: str) -> str:
+        """Reference layout: <base>/<sup|unsup>-<data>/<model>_<size>_<lr>/
+        (supervised_train.py:81-89, unsupervised_train.py:61-69)."""
+        name = os.path.basename(self.train_prefix.rstrip("/"))
+        sub = "sup" if task == "supervised" else "unsup"
+        d = os.path.join(
+            self.base_log_dir,
+            f"{sub}-{name}",
+            f"{self.model:s}_{self.model_size:s}_{self.learning_rate:0.4f}",
+        )
+        os.makedirs(d, exist_ok=True)
+        return d
+
+
+def build_layer_infos(flags: TrainFlags, supervised: bool):
+    """The fanout/dim stack for the model-zoo dispatch.
+
+    ``samples_3 > 0`` adds a third layer (dim_2 again) for graphsage_mean
+    only (supervised_train.py:153-161). The gcn variant doubles dims with
+    concat=False so output widths match concat models
+    (supervised_train.py:172-188).
+    """
+    from graphsage_tpu.models.graphsage import LayerInfo
+
+    if flags.model not in MODEL_AGGREGATORS:
+        raise ValueError(f"unknown model: {flags.model}")
+    agg, concat = MODEL_AGGREGATORS[flags.model]
+    mult = 1 if concat else 2
+    layers = [
+        LayerInfo(flags.samples_1, mult * flags.dim_1),
+        LayerInfo(flags.samples_2, mult * flags.dim_2),
+    ]
+    if supervised and flags.samples_3 > 0 and flags.model == "graphsage_mean":
+        layers.append(LayerInfo(flags.samples_3, mult * flags.dim_2))
+    return agg, concat, tuple(layers)

@@ -1,0 +1,249 @@
+"""Supervised training loop (reference supervised_train.py:122-330).
+
+TPU-native restructuring of the reference's sess.run loop: the whole
+train step (sample -> aggregate -> head -> loss -> grad -> Adam) is one
+jitted function; the train/full adjacency swap (reference tf.assign at
+:260-261) is just passing a different same-shaped device array, which
+re-uses the compiled executable.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from graphsage_tpu.data.adjacency import build_both_adjs
+from graphsage_tpu.data.io import load_data
+from graphsage_tpu.data.minibatch import NodeBatcher
+from graphsage_tpu.models.graphsage import SAGEConfig
+from graphsage_tpu.models.supervised import (
+    SupervisedConfig,
+    init_supervised_params,
+    make_optimizer,
+    supervised_logits,
+    supervised_loss,
+    supervised_predict,
+)
+from graphsage_tpu.parallel.dp import make_supervised_train_step
+from graphsage_tpu.train import checkpoint as ckpt
+from graphsage_tpu.train.config import TrainFlags, build_layer_infos
+from graphsage_tpu.train.metrics import calc_f1
+
+
+def build_supervised_config(flags: TrainFlags, graph) -> SupervisedConfig:
+    agg, concat, layers = build_layer_infos(flags, supervised=True)
+    feature_dim = 0 if graph.features is None else graph.features.shape[1]
+    if feature_dim == 0 and flags.identity_dim == 0:
+        raise ValueError(
+            "Must have a positive value for identity feature dimension if no "
+            "input features given."
+        )
+    sage = SAGEConfig(
+        layers=layers,
+        feature_dim=feature_dim,
+        aggregator=agg,
+        concat=concat,
+        model_size=flags.model_size,
+        identity_dim=flags.identity_dim,
+        num_nodes=graph.num_nodes,
+        dropout=flags.dropout,
+    )
+    return SupervisedConfig(
+        sage=sage,
+        num_classes=graph.num_classes,
+        sigmoid_loss=flags.sigmoid,
+        weight_decay=flags.weight_decay,
+    )
+
+
+def make_eval_step(config: SupervisedConfig):
+    """jitted (loss, preds) on a fixed-shape batch, no dropout."""
+
+    def eval_step(params, features, adj, ids, labels, mask, rng):
+        loss, logits = supervised_loss(
+            params, features, adj, ids, labels, mask, rng, config,
+            deterministic=True,
+        )
+        return loss, supervised_predict(logits, config)
+
+    return jax.jit(eval_step)
+
+
+def _run_eval(eval_step, params, features, adj, batches, rng):
+    """Masked incremental evaluation -> (mean loss, micro f1, macro f1, dt)."""
+    t0 = time.time()
+    losses, preds, labels = [], [], []
+    for batch in batches:
+        loss, p = eval_step(
+            params, features, adj,
+            jnp.asarray(batch.ids), jnp.asarray(batch.labels),
+            jnp.asarray(batch.mask), rng,
+        )
+        k = int(batch.mask.sum())
+        losses.append(float(loss))
+        preds.append(np.asarray(p)[:k])
+        labels.append(batch.labels[:k])
+    preds = np.vstack(preds)
+    labels = np.vstack(labels)
+    return np.mean(losses), preds, labels, time.time() - t0
+
+
+def train(flags: TrainFlags, graph=None) -> dict:
+    if graph is None:
+        print("Loading training data..")
+        graph = load_data(flags.train_prefix)
+        print("Done loading training data..")
+
+    config = build_supervised_config(flags, graph)
+    sigmoid = flags.sigmoid
+
+    train_adj_np, deg, full_adj_np = build_both_adjs(
+        graph, flags.max_degree, seed=flags.seed
+    )
+    batcher = NodeBatcher(graph, deg, flags.batch_size, seed=flags.seed)
+
+    feats_np = graph.padded_features()
+    features = None if feats_np is None else jnp.asarray(feats_np)
+    train_adj = jnp.asarray(train_adj_np)
+    full_adj = jnp.asarray(full_adj_np)
+
+    key = jax.random.key(flags.seed)
+    key, init_key = jax.random.split(key)
+    params = init_supervised_params(init_key, config)
+    optimizer = make_optimizer(flags.learning_rate)
+    opt_state = optimizer.init(params)
+
+    step_fn = jax.jit(
+        make_supervised_train_step(config, optimizer), donate_argnums=(0, 1)
+    )
+    eval_step = make_eval_step(config)
+    eval_key = jax.random.key(flags.seed + 1)
+
+    total_steps = 0
+    if flags.checkpoint_dir and flags.resume:
+        restored = ckpt.restore(flags.checkpoint_dir, params, opt_state)
+        if restored is not None:
+            params, opt_state, total_steps = restored
+            print(f"Resumed from checkpoint at step {total_steps}")
+
+    log_dir = flags.log_dir("supervised")
+    avg_time = 0.0
+    val_cost = val_f1_mic = val_f1_mac = 0.0
+    stop = False
+
+    if flags.profile_dir:
+        jax.profiler.start_trace(flags.profile_dir)
+
+    for epoch in range(flags.epochs):
+        print("Epoch: %04d" % (epoch + 1))
+        for it, batch in enumerate(batcher.epoch()):
+            t = time.time()
+            key, sub = jax.random.split(key)
+            params, opt_state, loss, logits = step_fn(
+                params, opt_state, sub,
+                features, train_adj,
+                jnp.asarray(batch.ids), jnp.asarray(batch.labels),
+                jnp.asarray(batch.mask),
+            )
+
+            if it % flags.validate_iter == 0:
+                if flags.validate_batch_size == -1:
+                    val_cost, vp, vl, _ = _run_eval(
+                        eval_step, params, features, full_adj,
+                        batcher.val_batches(), eval_key,
+                    )
+                    val_f1_mic, val_f1_mac = calc_f1(vl, vp, sigmoid)
+                else:
+                    vb = batcher.sample_val_batch(flags.validate_batch_size)
+                    vloss, vpred = eval_step(
+                        params, features, full_adj,
+                        jnp.asarray(vb.ids), jnp.asarray(vb.labels),
+                        jnp.asarray(vb.mask), eval_key,
+                    )
+                    val_cost = float(vloss)
+                    k = int(vb.mask.sum())
+                    val_f1_mic, val_f1_mac = calc_f1(
+                        vb.labels[:k], np.asarray(vpred)[:k], sigmoid
+                    )
+
+            loss = float(loss)
+            avg_time = (
+                avg_time * total_steps + time.time() - t
+            ) / (total_steps + 1)
+
+            if total_steps % flags.print_every == 0:
+                k = int(batch.mask.sum())
+                preds = supervised_predict(logits, config)
+                f1_mic, f1_mac = calc_f1(
+                    batch.labels[:k], np.asarray(preds)[:k], sigmoid
+                )
+                print(
+                    "Iter:", "%04d" % it,
+                    "train_loss=", "{:.5f}".format(loss),
+                    "train_f1_mic=", "{:.5f}".format(f1_mic),
+                    "train_f1_mac=", "{:.5f}".format(f1_mac),
+                    "val_loss=", "{:.5f}".format(val_cost),
+                    "val_f1_mic=", "{:.5f}".format(val_f1_mic),
+                    "val_f1_mac=", "{:.5f}".format(val_f1_mac),
+                    "time=", "{:.5f}".format(avg_time),
+                )
+
+            total_steps += 1
+            if (flags.checkpoint_dir and flags.checkpoint_every
+                    and total_steps % flags.checkpoint_every == 0):
+                ckpt.save(flags.checkpoint_dir, params, opt_state, total_steps)
+            if total_steps > flags.max_total_steps:
+                stop = True
+                break
+        if stop:
+            break
+
+    if flags.profile_dir:
+        jax.profiler.stop_trace()
+
+    print("Optimization Finished!")
+    val_cost, vp, vl, duration = _run_eval(
+        eval_step, params, features, full_adj, batcher.val_batches(), eval_key
+    )
+    val_f1_mic, val_f1_mac = calc_f1(vl, vp, sigmoid)
+    print(
+        "Full validation stats:",
+        "loss=", "{:.5f}".format(val_cost),
+        "f1_micro=", "{:.5f}".format(val_f1_mic),
+        "f1_macro=", "{:.5f}".format(val_f1_mac),
+        "time=", "{:.5f}".format(duration),
+    )
+    with open(log_dir + "/val_stats.txt", "w") as fp:
+        fp.write(
+            "loss={:.5f} f1_micro={:.5f} f1_macro={:.5f} time={:.5f}".format(
+                val_cost, val_f1_mic, val_f1_mac, duration
+            )
+        )
+
+    print("Writing test set stats to file (don't peak!)")
+    test_cost, tp, tl, _ = _run_eval(
+        eval_step, params, features, full_adj, batcher.test_batches(), eval_key
+    )
+    test_f1_mic, test_f1_mac = calc_f1(tl, tp, sigmoid)
+    with open(log_dir + "/test_stats.txt", "w") as fp:
+        fp.write(
+            "loss={:.5f} f1_micro={:.5f} f1_macro={:.5f}".format(
+                test_cost, test_f1_mic, test_f1_mac
+            )
+        )
+
+    if flags.checkpoint_dir:
+        ckpt.save(flags.checkpoint_dir, params, opt_state, total_steps)
+
+    return {
+        "params": params,
+        "val_loss": val_cost,
+        "val_f1_mic": val_f1_mic,
+        "val_f1_mac": val_f1_mac,
+        "test_f1_mic": test_f1_mic,
+        "test_f1_mac": test_f1_mac,
+        "steps": total_steps,
+    }

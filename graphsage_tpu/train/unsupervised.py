@@ -1,0 +1,343 @@
+"""Unsupervised training loop (reference unsupervised_train.py:132-372).
+
+Covers the GraphSAGE three-tower skip-gram path, MRR EMA ("shadow")
+tracking, embedding export (val.npy/val.txt), the n2v baseline, and the
+n2v post-hoc inductive retrain with frozen train-node context rows.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from graphsage_tpu.data.adjacency import build_both_adjs
+from graphsage_tpu.data.io import load_data
+from graphsage_tpu.data.minibatch import EdgeBatcher
+from graphsage_tpu.data.walks import run_random_walks
+from graphsage_tpu.models import node2vec as n2v
+from graphsage_tpu.models.graphsage import SAGEConfig
+from graphsage_tpu.models.unsupervised import (
+    UnsupervisedConfig,
+    init_unsupervised_params,
+    unsupervised_loss,
+    unsupervised_outputs,
+)
+from graphsage_tpu.models.supervised import make_optimizer
+from graphsage_tpu.nn.negative import unigram_cdf, unigram_logits
+from graphsage_tpu.parallel.dp import (
+    make_node2vec_train_step,
+    make_unsupervised_train_step,
+)
+from graphsage_tpu.train import checkpoint as ckpt
+from graphsage_tpu.train.config import TrainFlags, build_layer_infos
+
+
+def build_unsupervised_config(flags: TrainFlags, graph) -> UnsupervisedConfig:
+    agg, concat, layers = build_layer_infos(flags, supervised=False)
+    feature_dim = 0 if graph.features is None else graph.features.shape[1]
+    if feature_dim == 0 and flags.identity_dim == 0:
+        raise ValueError(
+            "Must have a positive value for identity feature dimension if no "
+            "input features given."
+        )
+    sage = SAGEConfig(
+        layers=layers,
+        feature_dim=feature_dim,
+        aggregator=agg,
+        concat=concat,
+        model_size=flags.model_size,
+        identity_dim=flags.identity_dim,
+        num_nodes=graph.num_nodes,
+        dropout=flags.dropout,
+    )
+    return UnsupervisedConfig(
+        sage=sage,
+        neg_sample_size=flags.neg_sample_size,
+        weight_decay=flags.weight_decay,
+    )
+
+
+def make_embed_step(config: UnsupervisedConfig):
+    """jitted deterministic forward: normalized outputs1 for export."""
+
+    def embed_step(params, features, adj, b1, b2, neg_cdf, rng):
+        out1, _, _ = unsupervised_outputs(
+            params, features, adj, b1, b2, neg_cdf, rng, config,
+            deterministic=True,
+        )
+        return out1
+
+    return jax.jit(embed_step)
+
+
+def make_unsup_eval_step(config: UnsupervisedConfig):
+    def eval_step(params, features, adj, b1, b2, mask, neg_cdf, rng):
+        loss, aux = unsupervised_loss(
+            params, features, adj, b1, b2, mask, neg_cdf, rng, config,
+            deterministic=True,
+        )
+        return loss, aux["mrr"]
+
+    return jax.jit(eval_step)
+
+
+def save_val_embeddings(embed_fn, batcher, graph, out_dir: str, mod=""):
+    """Export one embedding row per node to val<mod>.npy + val<mod>.txt
+    (original node ids), reference unsupervised_train.py:94-117."""
+    rows, nodes, seen = [], [], set()
+    for batch in batcher.embed_batches():
+        out = np.asarray(embed_fn(batch))
+        k = int(batch.mask.sum())
+        for i in range(k):
+            nid = int(batch.batch1[i])
+            if nid not in seen:
+                seen.add(nid)
+                rows.append(out[i])
+                nodes.append(graph.node_ids[nid])
+    os.makedirs(out_dir, exist_ok=True)
+    np.save(os.path.join(out_dir, f"val{mod}.npy"), np.vstack(rows))
+    with open(os.path.join(out_dir, f"val{mod}.txt"), "w") as fp:
+        fp.write("\n".join(map(str, nodes)))
+
+
+def train(flags: TrainFlags, graph=None) -> dict:
+    if graph is None:
+        print("Loading training data..")
+        graph = load_data(flags.train_prefix, load_walks=flags.random_context)
+        print("Done loading training data..")
+
+    train_adj_np, deg, full_adj_np = build_both_adjs(
+        graph, flags.max_degree, seed=flags.seed
+    )
+    context_pairs = graph.walks if flags.random_context else None
+    batcher = EdgeBatcher(
+        graph, deg, flags.batch_size, context_pairs=context_pairs,
+        seed=flags.seed,
+    )
+    log_dir = flags.log_dir("unsupervised")
+
+    if flags.model == "n2v":
+        return _train_n2v(flags, graph, deg, batcher, log_dir)
+
+    config = build_unsupervised_config(flags, graph)
+    feats_np = graph.padded_features()
+    features = None if feats_np is None else jnp.asarray(feats_np)
+    train_adj = jnp.asarray(train_adj_np)
+    full_adj = jnp.asarray(full_adj_np)
+    neg_cdf = jnp.asarray(unigram_cdf(deg))
+
+    key = jax.random.key(flags.seed)
+    key, init_key = jax.random.split(key)
+    params = init_unsupervised_params(init_key, config)
+    optimizer = make_optimizer(flags.learning_rate)
+    opt_state = optimizer.init(params)
+
+    step_fn = jax.jit(
+        make_unsupervised_train_step(config, optimizer), donate_argnums=(0, 1)
+    )
+    eval_step = make_unsup_eval_step(config)
+    embed_step = make_embed_step(config)
+    eval_key = jax.random.key(flags.seed + 1)
+
+    total_steps = 0
+    if flags.checkpoint_dir and flags.resume:
+        restored = ckpt.restore(flags.checkpoint_dir, params, opt_state)
+        if restored is not None:
+            params, opt_state, total_steps = restored
+            print(f"Resumed from checkpoint at step {total_steps}")
+
+    train_shadow_mrr = None
+    shadow_mrr = None
+    val_cost = val_mrr = 0.0
+    avg_time = 0.0
+    stop = False
+
+    for epoch in range(flags.epochs):
+        print("Epoch: %04d" % (epoch + 1))
+        for it, batch in enumerate(batcher.epoch()):
+            t = time.time()
+            key, sub = jax.random.split(key)
+            params, opt_state, loss, aux = step_fn(
+                params, opt_state, sub, features, train_adj,
+                jnp.asarray(batch.batch1), jnp.asarray(batch.batch2),
+                jnp.asarray(batch.mask), neg_cdf,
+            )
+            train_cost = float(loss)
+            train_mrr = float(aux["mrr"])
+            if train_shadow_mrr is None:
+                train_shadow_mrr = train_mrr
+            else:
+                train_shadow_mrr -= (1 - 0.99) * (train_shadow_mrr - train_mrr)
+
+            if it % flags.validate_iter == 0:
+                vb = batcher.sample_val_batch(flags.validate_batch_size)
+                vloss, vmrr = eval_step(
+                    params, features, full_adj,
+                    jnp.asarray(vb.batch1), jnp.asarray(vb.batch2),
+                    jnp.asarray(vb.mask), neg_cdf, eval_key,
+                )
+                val_cost, val_mrr = float(vloss), float(vmrr)
+            if shadow_mrr is None:
+                shadow_mrr = val_mrr
+            else:
+                shadow_mrr -= (1 - 0.99) * (shadow_mrr - val_mrr)
+
+            avg_time = (
+                avg_time * total_steps + time.time() - t
+            ) / (total_steps + 1)
+
+            if total_steps % flags.print_every == 0:
+                print(
+                    "Iter:", "%04d" % it,
+                    "train_loss=", "{:.5f}".format(train_cost),
+                    "train_mrr=", "{:.5f}".format(train_mrr),
+                    "train_mrr_ema=", "{:.5f}".format(train_shadow_mrr),
+                    "val_loss=", "{:.5f}".format(val_cost),
+                    "val_mrr=", "{:.5f}".format(val_mrr),
+                    "val_mrr_ema=", "{:.5f}".format(shadow_mrr),
+                    "time=", "{:.5f}".format(avg_time),
+                )
+
+            total_steps += 1
+            if (flags.checkpoint_dir and flags.checkpoint_every
+                    and total_steps % flags.checkpoint_every == 0):
+                ckpt.save(flags.checkpoint_dir, params, opt_state, total_steps)
+            if total_steps > flags.max_total_steps:
+                stop = True
+                break
+        if stop:
+            break
+
+    print("Optimization Finished!")
+    if flags.save_embeddings:
+        def embed_fn(batch):
+            return embed_step(
+                params, features, full_adj,
+                jnp.asarray(batch.batch1), jnp.asarray(batch.batch2),
+                neg_cdf, eval_key,
+            )
+
+        save_val_embeddings(embed_fn, batcher, graph, log_dir)
+
+    if flags.checkpoint_dir:
+        ckpt.save(flags.checkpoint_dir, params, opt_state, total_steps)
+
+    return {
+        "params": params,
+        "val_loss": val_cost,
+        "val_mrr": val_mrr,
+        "shadow_mrr": shadow_mrr,
+        "steps": total_steps,
+        "log_dir": log_dir,
+    }
+
+
+def _train_n2v(flags: TrainFlags, graph, deg, batcher: EdgeBatcher,
+               log_dir: str) -> dict:
+    """DeepWalk/n2v baseline + the post-hoc inductive retrain
+    (unsupervised_train.py:324-372)."""
+    config = n2v.Node2VecConfig(
+        num_nodes=graph.num_nodes + 1,
+        dim=2 * flags.dim_1,
+        neg_sample_size=flags.neg_sample_size,
+        learning_rate=flags.learning_rate,
+    )
+    key = jax.random.key(flags.seed)
+    key, init_key = jax.random.split(key)
+    params = n2v.init_node2vec_params(init_key, config)
+    optimizer = n2v.make_optimizer(flags.learning_rate)
+    opt_state = optimizer.init(params)
+
+    deg_padded = np.concatenate([deg, [0]]).astype(np.float32)
+    uni_logits = jnp.asarray(np.asarray(unigram_logits(deg_padded)))
+
+    step_fn = jax.jit(
+        make_node2vec_train_step(config, optimizer), donate_argnums=(0, 1)
+    )
+
+    total_steps = 0
+    avg_time = 0.0
+    train_shadow_mrr = None
+    stop = False
+    for epoch in range(flags.epochs):
+        print("Epoch: %04d" % (epoch + 1))
+        for it, batch in enumerate(batcher.epoch()):
+            t = time.time()
+            key, sub = jax.random.split(key)
+            params, opt_state, loss, aux = step_fn(
+                params, opt_state, sub,
+                jnp.asarray(batch.batch1), jnp.asarray(batch.batch2),
+                jnp.asarray(batch.mask), uni_logits,
+            )
+            train_mrr = float(aux["mrr"])
+            if train_shadow_mrr is None:
+                train_shadow_mrr = train_mrr
+            else:
+                train_shadow_mrr -= (1 - 0.99) * (train_shadow_mrr - train_mrr)
+            avg_time = (
+                avg_time * total_steps + time.time() - t
+            ) / (total_steps + 1)
+            if total_steps % flags.print_every == 0:
+                print(
+                    "Iter:", "%04d" % it,
+                    "train_loss=", "{:.5f}".format(float(loss)),
+                    "train_mrr=", "{:.5f}".format(train_mrr),
+                    "train_mrr_ema=", "{:.5f}".format(train_shadow_mrr),
+                    "time=", "{:.5f}".format(avg_time),
+                )
+            total_steps += 1
+            if total_steps > flags.max_total_steps:
+                stop = True
+                break
+        if stop:
+            break
+
+    print("Optimization Finished!")
+    if flags.save_embeddings:
+        _save_n2v_embeddings(params, batcher, graph, log_dir, mod="")
+        # Inductive patch-up: fresh walks over the full graph, retrain with
+        # train-node context rows frozen (unsupervised_train.py:324-372).
+        pairs = run_random_walks(
+            graph.neighbors,
+            np.flatnonzero(graph.is_val | graph.is_test),
+            rng=np.random.default_rng(flags.seed),
+        )
+        retrain_batcher = EdgeBatcher(
+            graph, deg, flags.batch_size, context_pairs=pairs,
+            seed=flags.seed, n2v_retrain=True, fixed_n2v=False,
+        )
+        update_mask = np.zeros((graph.num_nodes + 1,), dtype=np.float32)
+        evalnodes = np.flatnonzero(graph.is_val | graph.is_test)
+        update_mask[evalnodes] = 1.0
+        retrain_step = jax.jit(
+            make_node2vec_train_step(
+                config, optimizer,
+                context_update_mask=jnp.asarray(update_mask),
+            ),
+            donate_argnums=(0, 1),
+        )
+        opt_state = optimizer.init(params)
+        for epoch in range(flags.n2v_test_epochs):
+            for batch in retrain_batcher.epoch():
+                key, sub = jax.random.split(key)
+                params, opt_state, loss, aux = retrain_step(
+                    params, opt_state, sub,
+                    jnp.asarray(batch.batch1), jnp.asarray(batch.batch2),
+                    jnp.asarray(batch.mask), uni_logits,
+                )
+        _save_n2v_embeddings(params, batcher, graph, log_dir, mod="-test")
+
+    return {"params": params, "steps": total_steps, "log_dir": log_dir}
+
+
+def _save_n2v_embeddings(params, batcher, graph, out_dir, mod=""):
+    target = np.asarray(params["target"])
+
+    def embed_fn(batch):
+        return target[np.asarray(batch.batch1)]
+
+    save_val_embeddings(embed_fn, batcher, graph, out_dir, mod=mod)

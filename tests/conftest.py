@@ -19,6 +19,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
 
+# The axon TPU plugin's sitecustomize force-sets jax_platforms="axon,cpu",
+# overriding JAX_PLATFORMS=cpu from the environment — re-force CPU here so
+# tests run on the 8 virtual CPU devices, not the tunneled TPU chip.
+jax.config.update("jax_platforms", "cpu")
+
 # Reuse compiled executables across test processes; exact matmuls so
 # golden-value parity tests are meaningful.
 jax.config.update("jax_compilation_cache_dir", "/root/.jax_test_cache")

@@ -1,0 +1,80 @@
+"""Pallas kernel tests (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from graphsage_tpu.ops.gather import fused_gather_mean, gather_mean_reference
+
+
+@pytest.mark.parametrize("B,S,F", [(8, 5, 16), (13, 25, 32), (1, 1, 8)])
+def test_fused_gather_mean_matches_reference(np_rng, B, S, F):
+    feats = jnp.asarray(
+        np_rng.standard_normal((40, F)).astype(np.float32)
+    )
+    idx = jnp.asarray(np_rng.integers(0, 40, (B, S), dtype=np.int32))
+    ref = gather_mean_reference(feats, idx)
+    out = fused_gather_mean(feats, idx, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5,
+                               atol=1e-6)
+
+
+def test_fused_gather_mean_bf16_input(np_rng):
+    feats = jnp.asarray(
+        np_rng.standard_normal((32, 16)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    idx = jnp.asarray(np_rng.integers(0, 32, (8, 4), dtype=np.int32))
+    out = fused_gather_mean(feats, idx, interpret=True)
+    ref = jnp.take(feats.astype(jnp.float32), idx, axis=0).mean(axis=1)
+    assert out.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-2)
+
+
+def test_sage_embed_fused_matches_unfused(toy_graph):
+    """The model-level fast path is numerically identical to the default
+    path when sampling indices agree (same rng, dropout=0)."""
+    import dataclasses
+
+    from graphsage_tpu.data.adjacency import build_both_adjs
+    from graphsage_tpu.models.graphsage import (
+        LayerInfo,
+        SAGEConfig,
+        init_sage_params,
+        sage_embed,
+    )
+
+    g = toy_graph
+    adj, _, _ = build_both_adjs(g, max_degree=8)
+    feats = jnp.asarray(g.padded_features())
+    adj = jnp.asarray(adj)
+    config = SAGEConfig(
+        layers=(LayerInfo(4, 8), LayerInfo(3, 8)),
+        feature_dim=feats.shape[1],
+        aggregator="mean",
+    )
+    params = init_sage_params(jax.random.key(0), config)
+    ids = jnp.arange(16, dtype=jnp.int32)
+    key = jax.random.key(1)
+
+    out_plain = sage_embed(params, feats, adj, ids, key, config)
+
+    fused_cfg = dataclasses.replace(config, fused_gather=True)
+    # interpret mode so the Pallas kernel runs on CPU
+    import unittest.mock
+
+    from graphsage_tpu.ops import gather as gather_mod
+
+    orig = gather_mod.fused_gather_mean
+
+    def interp(feats_, idx_):
+        return orig(feats_, idx_, interpret=True)
+
+    with unittest.mock.patch.object(
+        gather_mod, "fused_gather_mean", side_effect=interp
+    ):
+        out_fused = sage_embed(params, feats, adj, ids, key, fused_cfg)
+
+    np.testing.assert_allclose(
+        np.asarray(out_fused), np.asarray(out_plain), rtol=1e-4, atol=1e-5
+    )

@@ -1,0 +1,201 @@
+"""End-to-end trainer tests: tiny synthetic graphs, few steps, on the
+8-virtual-device CPU backend (conftest.py).
+
+Mirrors the reference's de-facto verification (SURVEY.md §4): the example
+smoke scripts become real pytest cases with F1/output-contract checks.
+"""
+
+import dataclasses
+import os
+
+import numpy as np
+import pytest
+
+from graphsage_tpu.data.synthetic import make_synthetic_graph, write_dataset
+from graphsage_tpu.train.config import TrainFlags, build_layer_infos
+
+
+def tiny_flags(tmp_path, **kw):
+    base = dict(
+        model="graphsage_mean",
+        learning_rate=0.01,
+        epochs=2,
+        batch_size=16,
+        samples_1=4,
+        samples_2=3,
+        dim_1=8,
+        dim_2=8,
+        max_degree=8,
+        validate_iter=4,
+        validate_batch_size=8,
+        print_every=1000,
+        base_log_dir=str(tmp_path),
+        train_prefix=str(tmp_path / "synth"),
+        seed=123,
+    )
+    base.update(kw)
+    return TrainFlags(**base)
+
+
+@pytest.fixture(scope="module")
+def graph():
+    return make_synthetic_graph(num_nodes=80, num_classes=3, feat_dim=8,
+                                seed=3)
+
+
+def test_supervised_end_to_end(tmp_path, graph):
+    from graphsage_tpu.train.supervised import train
+
+    flags = tiny_flags(tmp_path)
+    result = train(flags, graph=graph)
+    assert np.isfinite(result["val_loss"])
+    # informative features -> should beat the 1/3 random baseline
+    assert result["val_f1_mic"] > 0.4
+    log_dir = flags.log_dir("supervised")
+    for stats in ("val_stats.txt", "test_stats.txt"):
+        with open(os.path.join(log_dir, stats)) as fp:
+            content = fp.read()
+        assert "f1_micro=" in content
+
+
+def test_supervised_sigmoid_multilabel(tmp_path):
+    from graphsage_tpu.train.supervised import train
+
+    g = make_synthetic_graph(num_nodes=80, num_classes=4, feat_dim=8,
+                             multilabel=True, seed=5)
+    flags = tiny_flags(tmp_path, sigmoid=True, epochs=1)
+    result = train(flags, graph=g)
+    assert np.isfinite(result["val_loss"])
+    assert 0.0 <= result["val_f1_mic"] <= 1.0
+
+
+def test_supervised_gcn_three_layer_dispatch(tmp_path, graph):
+    from graphsage_tpu.train.supervised import train
+
+    # gcn: concat=False, doubled dims
+    flags = tiny_flags(tmp_path, model="gcn", epochs=1, max_total_steps=3)
+    agg, concat, layers = build_layer_infos(flags, supervised=True)
+    assert agg == "gcn" and not concat
+    assert layers[0].output_dim == 2 * flags.dim_1
+    result = train(flags, graph=graph)
+    assert np.isfinite(result["val_loss"])
+
+    # samples_3 adds a third layer for graphsage_mean only
+    flags3 = tiny_flags(tmp_path, samples_3=2)
+    _, _, layers3 = build_layer_infos(flags3, supervised=True)
+    assert len(layers3) == 3
+    _, _, layers_gcn = build_layer_infos(
+        tiny_flags(tmp_path, model="gcn", samples_3=2), supervised=True
+    )
+    assert len(layers_gcn) == 2
+
+
+def test_unsupervised_end_to_end(tmp_path, graph):
+    from graphsage_tpu.train.unsupervised import train
+
+    flags = tiny_flags(
+        tmp_path, epochs=1, max_total_steps=10, random_context=False,
+        save_embeddings=True,
+    )
+    result = train(flags, graph=graph)
+    assert np.isfinite(result["val_loss"])
+    log_dir = result["log_dir"]
+    emb = np.load(os.path.join(log_dir, "val.npy"))
+    with open(os.path.join(log_dir, "val.txt")) as fp:
+        nodes = fp.read().splitlines()
+    assert emb.shape[0] == len(nodes) == graph.num_nodes
+    # embeddings are l2-normalized
+    norms = np.linalg.norm(emb, axis=1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-4)
+
+
+def test_n2v_end_to_end(tmp_path, graph):
+    from graphsage_tpu.train.unsupervised import train
+
+    flags = tiny_flags(
+        tmp_path, model="n2v", epochs=1, max_total_steps=10,
+        random_context=False, save_embeddings=True, n2v_test_epochs=1,
+        dim_1=4,
+    )
+    result = train(flags, graph=graph)
+    log_dir = result["log_dir"]
+    emb = np.load(os.path.join(log_dir, "val.npy"))
+    emb_test = np.load(os.path.join(log_dir, "val-test.npy"))
+    assert emb.shape == (graph.num_nodes, 2 * flags.dim_1)
+    assert emb_test.shape == emb.shape
+
+
+def test_checkpoint_resume(tmp_path, graph):
+    from graphsage_tpu.train import checkpoint as ckpt
+    from graphsage_tpu.train.supervised import (
+        build_supervised_config,
+        train,
+    )
+
+    flags = tiny_flags(
+        tmp_path, epochs=1, max_total_steps=4,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    result = train(flags, graph=graph)
+    assert ckpt.latest_step(flags.checkpoint_dir) == result["steps"]
+
+    # restore round-trips the param pytree exactly
+    import jax
+
+    config = build_supervised_config(flags, graph)
+    from graphsage_tpu.models.supervised import (
+        init_supervised_params,
+        make_optimizer,
+    )
+
+    params0 = init_supervised_params(jax.random.key(0), config)
+    opt0 = make_optimizer(flags.learning_rate).init(params0)
+    restored = ckpt.restore(flags.checkpoint_dir, params0, opt0)
+    assert restored is not None
+    params, _, step = restored
+    assert step == result["steps"]
+    trained_head = np.asarray(result["params"]["head"]["w"])
+    np.testing.assert_allclose(
+        np.asarray(params["head"]["w"]), trained_head, rtol=1e-6
+    )
+
+
+def test_cli_walks_and_dataset_roundtrip(tmp_path, graph):
+    from graphsage_tpu.cli import main
+    from graphsage_tpu.data.io import load_data
+
+    prefix = str(tmp_path / "synth")
+    write_dataset(graph, prefix)
+    out = str(tmp_path / "synth-walks.txt")
+    assert main(["walks", prefix + "-G.json", out,
+                 "--num_walks", "3", "--walk_len", "2"]) == 0
+    g2 = load_data(prefix, load_walks=True)
+    assert g2.num_nodes == graph.num_nodes
+    assert g2.walks is not None and g2.walks.shape[1] == 2
+    # walk endpoints are train nodes
+    is_train = g2.is_train
+    assert is_train[g2.walks].all()
+
+
+def test_cli_parser_defaults():
+    from graphsage_tpu.cli import build_parser
+
+    p = build_parser()
+    args = p.parse_args(["supervised", "--train_prefix", "x", "--sigmoid"])
+    assert args.model == "graphsage_mean"
+    assert args.learning_rate == 0.01 and args.epochs == 10
+    assert args.sigmoid
+
+    args = p.parse_args(["unsupervised", "--train_prefix", "x"])
+    assert args.learning_rate == 0.00001
+    assert args.epochs == 1 and args.max_degree == 100
+    assert args.neg_sample_size == 20
+
+
+def test_dataclass_flags_roundtrip():
+    f = TrainFlags(train_prefix="/tmp/x/reddit")
+    d = f.log_dir("supervised")
+    assert d.endswith("graphsage_mean_small_0.0100")
+    assert "sup-reddit" in d
+    f2 = dataclasses.replace(f, model="gcn")
+    assert f2.model == "gcn"
