@@ -32,11 +32,11 @@ MAX_DEGREE = 128
 BATCH = 512
 FANOUTS = (25, 10)
 DIMS = (128, 128)
-WARMUP = 3
-ITERS = 20
+WARMUP = 5
+ITERS = 100
 
 
-def build():
+def build(fused: bool = True):
     from graphsage_tpu.models.graphsage import LayerInfo, SAGEConfig
     from graphsage_tpu.models.supervised import (
         SupervisedConfig,
@@ -44,23 +44,25 @@ def build():
         make_optimizer,
         supervised_loss,
     )
+    from graphsage_tpu.ops.gather import pad_feature_dim
 
     sage = SAGEConfig(
         layers=(LayerInfo(FANOUTS[0], DIMS[0]), LayerInfo(FANOUTS[1], DIMS[1])),
         feature_dim=FEAT_DIM,
         aggregator="mean",
         concat=True,
+        fused_gather=fused,
     )
     config = SupervisedConfig(sage=sage, num_classes=NUM_CLASSES,
                               sigmoid_loss=False, weight_decay=0.0)
 
     rng = np.random.default_rng(0)
-    features = jnp.asarray(
+    features = jnp.asarray(pad_feature_dim(
         np.vstack([
             rng.standard_normal((NUM_NODES, FEAT_DIM)).astype(np.float32),
             np.zeros((1, FEAT_DIM), dtype=np.float32),
         ])
-    )
+    ))
     adj = jnp.asarray(
         rng.integers(0, NUM_NODES, (NUM_NODES + 1, MAX_DEGREE), dtype=np.int32)
     )
@@ -99,14 +101,18 @@ def main():
         key, sub = jax.random.split(key)
         params, opt_state, loss = step(params, opt_state, sub, features, adj,
                                        ids, labels, mask)
-    jax.block_until_ready(loss)
+    # A device->host transfer is the only reliable completion barrier on
+    # the tunneled runtime: block_until_ready returns before execution
+    # finishes there, under-measuring by >10x. One fetch after a long
+    # chained run amortizes the ~40ms tunnel round-trip.
+    float(loss)
 
     t0 = time.perf_counter()
     for i in range(ITERS):
         key, sub = jax.random.split(key)
         params, opt_state, loss = step(params, opt_state, sub, features, adj,
                                        ids, labels, mask)
-    jax.block_until_ready(loss)
+    float(loss)
     dt = time.perf_counter() - t0
 
     edges_per_step = BATCH * (FANOUTS[1] + FANOUTS[1] * FANOUTS[0])

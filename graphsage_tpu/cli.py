@@ -46,6 +46,9 @@ def _add_common(p: argparse.ArgumentParser, defaults: TrainFlags):
     p.add_argument("--print_every", type=int, default=d.print_every)
     p.add_argument("--max_total_steps", type=int, default=d.max_total_steps)
     # TPU-native additions
+    p.add_argument("--fused_gather", action=argparse.BooleanOptionalAction,
+                   default=d.fused_gather,
+                   help="Pallas fused gather+mean for the innermost hop")
     p.add_argument("--seed", type=int, default=d.seed)
     p.add_argument("--checkpoint_dir", default=d.checkpoint_dir)
     p.add_argument("--checkpoint_every", type=int, default=d.checkpoint_every)

@@ -126,12 +126,20 @@ def sample_frontier(
 
 def gather_features(params, features, idx, config: SAGEConfig):
     """Per-frontier feature gather, concatenating the trainable identity
-    embedding when configured (reference models.py:229-240)."""
+    embedding when configured (reference models.py:229-240).
+
+    ``features`` may carry extra zero lanes beyond ``feature_dim`` (the
+    128-lane padding the Pallas gather kernel needs, ops/gather.py);
+    gathered rows are sliced back to the logical dim.
+    """
     parts = []
     if config.identity_dim > 0:
         parts.append(jnp.take(params["embeds"], idx, axis=0))
     if features is not None and config.feature_dim > 0:
-        parts.append(jnp.take(features, idx, axis=0))
+        rows = jnp.take(features, idx, axis=0)
+        if rows.shape[1] != config.feature_dim:
+            rows = rows[:, : config.feature_dim]
+        parts.append(rows)
     if len(parts) == 1:
         return parts[0]
     return jnp.concatenate(parts, axis=1)
@@ -236,6 +244,8 @@ def sage_embed(
         inner_fanout = config.fanouts[0]
         idx2 = samples[-1].reshape(-1, inner_fanout)
         last_mean = fused_gather_mean(features, idx2)
+        if last_mean.shape[1] != config.feature_dim:
+            last_mean = last_mean[:, : config.feature_dim]
         hidden = [
             gather_features(params, features, s, config)
             for s in samples[:-1]

@@ -13,8 +13,10 @@ from graphsage_tpu.nn.sampler import uniform_sample
 from graphsage_tpu.nn.aggregators import AGGREGATORS, init_aggregator, apply_aggregator
 from graphsage_tpu.nn import prediction
 from graphsage_tpu.nn import negative
+from graphsage_tpu.nn import metrics
 
 __all__ = [
+    "metrics",
     "init",
     "init_dense",
     "apply_dense",

@@ -33,11 +33,24 @@ def uniform_sample(rng, adj, ids, num_samples: int, mode: str = "independent"):
       [n, num_samples] int32 neighbor indices.
     """
     rows = jnp.take(adj, ids, axis=0)  # [n, D]
-    max_degree = adj.shape[1]
+    return sample_from_rows(rng, rows, num_samples, mode)
+
+
+def sample_from_rows(rng, rows, num_samples: int, mode: str = "independent"):
+    """Sample fanout columns from pre-gathered adjacency rows [n, D].
+
+    Modes: "independent" (per-node uniform draws), "shared_perm" (the
+    reference's one-permutation-per-call quirk, neigh_samplers.py:26-28),
+    "first_k" (deterministic first columns — for cross-sharding parity
+    tests, not training).
+    """
+    max_degree = rows.shape[1]
     if mode == "shared_perm":
         perm = jax.random.permutation(rng, max_degree)
         return rows[:, perm[:num_samples]]
+    if mode == "first_k":
+        return rows[:, :num_samples]
     cols = jax.random.randint(
-        rng, (ids.shape[0], num_samples), 0, max_degree, dtype=jnp.int32
+        rng, (rows.shape[0], num_samples), 0, max_degree, dtype=jnp.int32
     )
     return jnp.take_along_axis(rows, cols, axis=1)

@@ -80,15 +80,51 @@ def _gather_mean_kernel(idx_ref, feat_ref, out_ref, scratch, sems,
     out_ref[:, :] = jnp.sum(block, axis=1) * (1.0 / S)
 
 
+def pad_feature_dim(features):
+    """Zero-pad the trailing (feature) axis to a multiple of 128 lanes.
+
+    Mosaic DMAs of single rows require the row to span whole lanes; do
+    this ONCE at setup (host or device) and slice gathered rows back to
+    the logical dim — per-step padding would copy the whole table.
+    """
+    import numpy as np
+
+    F = features.shape[-1]
+    pad = (-F) % 128
+    if pad == 0:
+        return features
+    if isinstance(features, np.ndarray):
+        return np.pad(features, ((0, 0), (0, pad)))
+    return jnp.pad(features, ((0, 0), (0, pad)))
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def fused_gather_mean(features, idx, interpret: bool = False):
     """[B, F] = mean_s features[idx[b, s]] without materializing [B*S, F].
 
     features: [N, F] float32/bfloat16 (HBM-resident), idx: [B, S] int32.
     Output is float32. B is padded to a multiple of TILE_B internally.
+    On TPU, F must be a multiple of 128 (see pad_feature_dim); otherwise
+    the XLA reference path is used.
     """
     B, S = idx.shape
     N, F = features.shape
+    on_tpu = jax.default_backend() not in ("cpu", "gpu")
+    if not interpret and (F % 128 != 0 or not on_tpu):
+        # Non-TPU backends and unpadded feature dims take the XLA path;
+        # the kernel is a drop-in numeric equivalent either way.
+        return gather_mean_reference(features, idx)
+
+    # Scalar-prefetched idx lives in SMEM lane-padded to [B, 128]; chunk
+    # the call so each kernel stays well under the 1MB SMEM budget.
+    CHUNK = 1024
+    if B > CHUNK:
+        outs = [
+            fused_gather_mean(features, idx[i:i + CHUNK], interpret=interpret)
+            for i in range(0, B, CHUNK)
+        ]
+        return jnp.concatenate(outs, axis=0)
+
     pad = (-B) % TILE_B
     if pad:
         idx = jnp.concatenate(

@@ -14,3 +14,9 @@ from graphsage_tpu.parallel.mesh import (  # noqa: F401
     shard_batch,
     shard_features,
 )
+from graphsage_tpu.parallel.graph_sharded import (  # noqa: F401
+    exchange_gather,
+    make_sharded_supervised_step,
+    shard_rows,
+    sharded_sage_embed,
+)

@@ -1,0 +1,237 @@
+"""P2: graph sharding with all-to-all halo exchange (shard_map).
+
+The reference's scale story is "subsample until one GPU suffices"
+(/root/reference/README.md:21); this module is the new first-class
+alternative for graphs whose features exceed one chip's HBM: the node
+feature table and padded adjacency are row-sharded across a ``graph``
+mesh axis, the minibatch is split across the same axis (data parallel),
+and every frontier gather becomes a two-phase all-to-all:
+
+  1. bucket the global row ids by owning shard (sort + rank, static
+     capacity per destination), all_to_all the request ids;
+  2. owners gather their local rows, all_to_all the rows back, unsort.
+
+Bandwidth per gather is ~2 * requests * row_bytes over ICI — independent
+of table size — versus a full-table pass for a ring all-gather. Gradients
+for replicated params are psum-reduced over the axis.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+import optax
+
+from graphsage_tpu.models.graphsage import (
+    SAGEConfig,
+    aggregate_pyramid,
+)
+from graphsage_tpu.nn.sampler import sample_from_rows
+
+
+def shard_rows(table, n_shards: int):
+    """Pad a [N, ...] table with zero rows to a multiple of n_shards.
+
+    Returns (padded table, shard_size). Row owners are contiguous:
+    shard d holds global rows [d*shard_size, (d+1)*shard_size).
+    """
+    import numpy as np
+
+    n = table.shape[0]
+    shard_size = -(-n // n_shards)
+    pad = shard_size * n_shards - n
+    if pad:
+        pad_widths = [(0, pad)] + [(0, 0)] * (table.ndim - 1)
+        if isinstance(table, np.ndarray):
+            table = np.pad(table, pad_widths)
+        else:
+            table = jnp.pad(table, pad_widths)
+    return table, shard_size
+
+
+def exchange_gather(local, idx, axis_name: str, capacity: int):
+    """Gather global rows from a row-sharded table via all-to-all.
+
+    Args:
+      local: [shard_size, ...] this device's rows.
+      idx: [m] int32 global row ids (may point at any shard).
+      capacity: static per-destination request budget. Requests beyond it
+        are dropped and return zero rows — size it to the worst case for
+        exactness (m covers everything).
+
+    Returns [m, ...] rows.
+    """
+    D = jax.lax.axis_size(axis_name)
+    shard_size = local.shape[0]
+    m = idx.shape[0]
+
+    owner = (idx // shard_size).astype(jnp.int32)
+    order = jnp.argsort(owner, stable=True)
+    sorted_idx = idx[order]
+    sorted_owner = owner[order]
+
+    counts = jax.ops.segment_sum(
+        jnp.ones((m,), jnp.int32), owner, num_segments=D
+    )
+    starts = jnp.cumsum(counts) - counts
+    rank = jnp.arange(m, dtype=jnp.int32) - starts[sorted_owner]
+    valid = rank < capacity
+
+    # [D, capacity] local offsets into the owner's shard; overflow ranks
+    # index out of bounds and are dropped by the scatter.
+    send = jnp.zeros((D, capacity), jnp.int32).at[
+        sorted_owner, jnp.where(valid, rank, capacity)
+    ].set((sorted_idx % shard_size).astype(jnp.int32), mode="drop")
+
+    # requests to me, one row per source device
+    recv = jax.lax.all_to_all(send, axis_name, 0, 0, tiled=True)
+    rows = jnp.take(local, recv.reshape(-1), axis=0).reshape(
+        (D, capacity) + local.shape[1:]
+    )
+    # rows[s] = rows requested by device s; send each back to s
+    resp = jax.lax.all_to_all(rows, axis_name, 0, 0, tiled=True)
+    # resp[d, r] = row for my r-th request to owner d
+    gathered = resp[sorted_owner, jnp.clip(rank, 0, capacity - 1)]
+    gathered = jnp.where(
+        valid.reshape((m,) + (1,) * (gathered.ndim - 1)), gathered, 0
+    )
+    inv = jnp.argsort(order)
+    return gathered[inv]
+
+
+def _capacity(m: int, n_shards: int, factor: float) -> int:
+    """Static per-destination budget: balanced share x safety factor,
+    clipped to m (which is always exact)."""
+    return int(min(m, max(1, -(-m // n_shards) * factor)))
+
+
+def sharded_sage_embed(
+    params,
+    feat_local,
+    adj_local,
+    ids,
+    rng,
+    config: SAGEConfig,
+    axis_name: str,
+    capacity_factor: float = 4.0,
+    deterministic: bool = True,
+):
+    """sage_embed over row-sharded feat/adj: frontier expansion and all
+    feature gathers ride exchange_gather; aggregation is fully local."""
+    D = jax.lax.axis_size(axis_name)
+    fanouts = config.fanouts
+    n_layers = len(fanouts)
+
+    samples = [ids]
+    keys = jax.random.split(rng, n_layers + 1)
+    for k in range(n_layers):
+        t = n_layers - k - 1
+        m = samples[k].shape[0]
+        adj_rows = exchange_gather(
+            adj_local, samples[k], axis_name,
+            _capacity(m, D, capacity_factor),
+        )
+        nxt = sample_from_rows(
+            keys[k], adj_rows, fanouts[t], mode=config.sampler_mode
+        )
+        samples.append(nxt.reshape(-1))
+
+    if config.identity_dim > 0:
+        raise NotImplementedError(
+            "sharded path: identity embeddings need a sharded table "
+            "(planned); train with identity_dim=0 or the replicated path"
+        )
+    hidden = []
+    for s in samples:
+        feats = exchange_gather(
+            feat_local, s, axis_name,
+            _capacity(s.shape[0], D, capacity_factor),
+        )
+        hidden.append(feats[:, : config.feature_dim])
+    return aggregate_pyramid(
+        params, hidden, ids.shape[0], config,
+        rng=None if deterministic else keys[-1],
+        deterministic=deterministic,
+    )
+
+
+def make_sharded_supervised_step(
+    sup_config,
+    optimizer,
+    mesh,
+    axis_name: str = "graph",
+    capacity_factor: float = 4.0,
+):
+    """Data-parallel + graph-sharded supervised train step via shard_map.
+
+    Params/opt state are replicated; feat/adj row-sharded; the batch is
+    split along the axis. Gradients psum over the axis.
+    """
+    from graphsage_tpu.models.supervised import (
+        _sigmoid_xent,
+        _softmax_xent,
+    )
+    from graphsage_tpu.models.graphsage import l2_normalize
+    from graphsage_tpu.models.supervised import supervised_predict
+    from graphsage_tpu.nn.dense import apply_dense
+
+    config = sup_config.sage
+
+    def local_loss(params, feat_local, adj_local, ids, labels, mask, rng,
+                   global_mask_sum):
+        emb = sharded_sage_embed(
+            params, feat_local, adj_local, ids, rng, config, axis_name,
+            capacity_factor,
+            deterministic=config.dropout == 0.0,
+        )
+        emb = l2_normalize(emb, axis=1)
+        logits = apply_dense(params["head"], emb, act=None)
+        if sup_config.sigmoid_loss:
+            per_node = _sigmoid_xent(logits, labels) / sup_config.num_classes
+        else:
+            per_node = _softmax_xent(logits, labels)
+        loss = jnp.sum(per_node * mask) / global_mask_sum
+        if sup_config.weight_decay > 0.0:
+            from graphsage_tpu.models.graphsage import sage_decay_weights
+
+            decayed = sage_decay_weights(params, config)
+            decayed += [params["head"]["w"], params["head"]["b"]]
+            # weight decay is replicated work; divide by D so the psum of
+            # shard losses/grads reproduces the single-device value
+            D = jax.lax.axis_size(axis_name)
+            loss = loss + sup_config.weight_decay * sum(
+                0.5 * jnp.sum(w * w) for w in decayed
+            ) / D
+        return loss, logits
+
+    def step(params, opt_state, rng, feat_local, adj_local, ids, labels,
+             mask):
+        global_mask_sum = jnp.maximum(
+            jax.lax.psum(jnp.sum(mask), axis_name), 1.0
+        )
+        (loss, logits), grads = jax.value_and_grad(
+            local_loss, has_aux=True
+        )(params, feat_local, adj_local, ids, labels, mask, rng,
+          global_mask_sum)
+        loss = jax.lax.psum(loss, axis_name)
+        grads = jax.lax.psum(grads, axis_name)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        preds = supervised_predict(logits, sup_config)
+        return params, opt_state, loss, preds
+
+    rep = P()
+    sh = P(axis_name)
+    mapped = shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(rep, rep, rep, sh, sh, sh, sh, sh),
+        out_specs=(rep, rep, rep, sh),
+        check_rep=False,
+    )
+    return jax.jit(mapped, donate_argnums=(0, 1))

@@ -63,6 +63,7 @@ class TrainFlags:
     max_total_steps: int = 10**10
 
     # TPU-native additions (no reference equivalent)
+    fused_gather: bool = True   # Pallas gather+mean for the innermost hop
     seed: int = 123
     n_model_shards: int = 1     # feature-dim tensor parallelism
     checkpoint_dir: str = ""    # orbax checkpoint root ("" = disabled)

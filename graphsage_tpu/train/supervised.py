@@ -50,6 +50,7 @@ def build_supervised_config(flags: TrainFlags, graph) -> SupervisedConfig:
         identity_dim=flags.identity_dim,
         num_nodes=graph.num_nodes,
         dropout=flags.dropout,
+        fused_gather=flags.fused_gather,
     )
     return SupervisedConfig(
         sage=sage,
@@ -73,22 +74,28 @@ def make_eval_step(config: SupervisedConfig):
 
 
 def _run_eval(eval_step, params, features, adj, batches, rng):
-    """Masked incremental evaluation -> (mean loss, micro f1, macro f1, dt)."""
+    """Masked incremental evaluation -> (mean loss, micro f1, macro f1, dt).
+
+    Device results stay on device until one stacked fetch at the end —
+    per-batch host round-trips would dominate on tunneled TPUs.
+    """
     t0 = time.time()
-    losses, preds, labels = [], [], []
+    losses, preds, labels, ks = [], [], [], []
     for batch in batches:
         loss, p = eval_step(
             params, features, adj,
             jnp.asarray(batch.ids), jnp.asarray(batch.labels),
             jnp.asarray(batch.mask), rng,
         )
-        k = int(batch.mask.sum())
-        losses.append(float(loss))
-        preds.append(np.asarray(p)[:k])
-        labels.append(batch.labels[:k])
-    preds = np.vstack(preds)
+        losses.append(loss)
+        preds.append(p)
+        ks.append(int(batch.mask.sum()))
+        labels.append(batch.labels[: ks[-1]])
+    losses = np.asarray(jnp.stack(losses))
+    preds_np = np.asarray(jnp.stack(preds))
+    preds = np.vstack([p[:k] for p, k in zip(preds_np, ks)])
     labels = np.vstack(labels)
-    return np.mean(losses), preds, labels, time.time() - t0
+    return float(np.mean(losses)), preds, labels, time.time() - t0
 
 
 def train(flags: TrainFlags, graph=None) -> dict:
@@ -106,6 +113,10 @@ def train(flags: TrainFlags, graph=None) -> dict:
     batcher = NodeBatcher(graph, deg, flags.batch_size, seed=flags.seed)
 
     feats_np = graph.padded_features()
+    if feats_np is not None and flags.fused_gather:
+        from graphsage_tpu.ops.gather import pad_feature_dim
+
+        feats_np = pad_feature_dim(feats_np)
     features = None if feats_np is None else jnp.asarray(feats_np)
     train_adj = jnp.asarray(train_adj_np)
     full_adj = jnp.asarray(full_adj_np)
@@ -130,6 +141,9 @@ def train(flags: TrainFlags, graph=None) -> dict:
             print(f"Resumed from checkpoint at step {total_steps}")
 
     log_dir = flags.log_dir("supervised")
+    from graphsage_tpu.train.tblog import ScalarLogger
+
+    logger = ScalarLogger(log_dir)
     avg_time = 0.0
     val_cost = val_f1_mic = val_f1_mac = 0.0
     stop = False
@@ -169,26 +183,35 @@ def train(flags: TrainFlags, graph=None) -> dict:
                         vb.labels[:k], np.asarray(vpred)[:k], sigmoid
                     )
 
-            loss = float(loss)
             avg_time = (
                 avg_time * total_steps + time.time() - t
             ) / (total_steps + 1)
 
+            # Device->host fetches happen only on print steps: each fetch
+            # is a full tunnel round-trip (~40ms on remoted TPUs) and
+            # would dominate the ~5ms step if done every iteration.
             if total_steps % flags.print_every == 0:
                 k = int(batch.mask.sum())
                 preds = supervised_predict(logits, config)
                 f1_mic, f1_mac = calc_f1(
                     batch.labels[:k], np.asarray(preds)[:k], sigmoid
                 )
+                train_loss = float(loss)
                 print(
                     "Iter:", "%04d" % it,
-                    "train_loss=", "{:.5f}".format(loss),
+                    "train_loss=", "{:.5f}".format(train_loss),
                     "train_f1_mic=", "{:.5f}".format(f1_mic),
                     "train_f1_mac=", "{:.5f}".format(f1_mac),
                     "val_loss=", "{:.5f}".format(val_cost),
                     "val_f1_mic=", "{:.5f}".format(val_f1_mic),
                     "val_f1_mac=", "{:.5f}".format(val_f1_mac),
                     "time=", "{:.5f}".format(avg_time),
+                )
+                logger.log(
+                    total_steps, train_loss=train_loss, train_f1_mic=f1_mic,
+                    train_f1_mac=f1_mac, val_loss=val_cost,
+                    val_f1_mic=val_f1_mic, val_f1_mac=val_f1_mac,
+                    step_time=avg_time,
                 )
 
             total_steps += 1
@@ -222,6 +245,9 @@ def train(flags: TrainFlags, graph=None) -> dict:
                 val_cost, val_f1_mic, val_f1_mac, duration
             )
         )
+    logger.log(total_steps, final_val_loss=val_cost,
+               final_val_f1_mic=val_f1_mic, final_val_f1_mac=val_f1_mac)
+    logger.close()
 
     print("Writing test set stats to file (don't peak!)")
     test_cost, tp, tl, _ = _run_eval(

@@ -53,6 +53,7 @@ def build_unsupervised_config(flags: TrainFlags, graph) -> UnsupervisedConfig:
         identity_dim=flags.identity_dim,
         num_nodes=graph.num_nodes,
         dropout=flags.dropout,
+        fused_gather=flags.fused_gather,
     )
     return UnsupervisedConfig(
         sage=sage,
@@ -89,15 +90,29 @@ def save_val_embeddings(embed_fn, batcher, graph, out_dir: str, mod=""):
     """Export one embedding row per node to val<mod>.npy + val<mod>.txt
     (original node ids), reference unsupervised_train.py:94-117."""
     rows, nodes, seen = [], [], set()
+    pending_out, pending_batches = [], []
+
+    def flush():
+        if not pending_out:
+            return
+        outs = np.asarray(jnp.stack(pending_out))  # one host fetch
+        for out, b in zip(outs, pending_batches):
+            k = int(b.mask.sum())
+            for i in range(k):
+                nid = int(b.batch1[i])
+                if nid not in seen:
+                    seen.add(nid)
+                    rows.append(out[i])
+                    nodes.append(graph.node_ids[nid])
+        pending_out.clear()
+        pending_batches.clear()
+
     for batch in batcher.embed_batches():
-        out = np.asarray(embed_fn(batch))
-        k = int(batch.mask.sum())
-        for i in range(k):
-            nid = int(batch.batch1[i])
-            if nid not in seen:
-                seen.add(nid)
-                rows.append(out[i])
-                nodes.append(graph.node_ids[nid])
+        pending_out.append(embed_fn(batch))
+        pending_batches.append(batch)
+        if len(pending_out) >= 64:
+            flush()
+    flush()
     os.makedirs(out_dir, exist_ok=True)
     np.save(os.path.join(out_dir, f"val{mod}.npy"), np.vstack(rows))
     with open(os.path.join(out_dir, f"val{mod}.txt"), "w") as fp:
@@ -125,6 +140,10 @@ def train(flags: TrainFlags, graph=None) -> dict:
 
     config = build_unsupervised_config(flags, graph)
     feats_np = graph.padded_features()
+    if feats_np is not None and flags.fused_gather:
+        from graphsage_tpu.ops.gather import pad_feature_dim
+
+        feats_np = pad_feature_dim(feats_np)
     features = None if feats_np is None else jnp.asarray(feats_np)
     train_adj = jnp.asarray(train_adj_np)
     full_adj = jnp.asarray(full_adj_np)
@@ -150,11 +169,17 @@ def train(flags: TrainFlags, graph=None) -> dict:
             params, opt_state, total_steps = restored
             print(f"Resumed from checkpoint at step {total_steps}")
 
+    from graphsage_tpu.train.tblog import ScalarLogger
+
+    logger = ScalarLogger(log_dir)
     train_shadow_mrr = None
     shadow_mrr = None
     val_cost = val_mrr = 0.0
     avg_time = 0.0
     stop = False
+
+    if flags.profile_dir:
+        jax.profiler.start_trace(flags.profile_dir)
 
     for epoch in range(flags.epochs):
         print("Epoch: %04d" % (epoch + 1))
@@ -166,8 +191,9 @@ def train(flags: TrainFlags, graph=None) -> dict:
                 jnp.asarray(batch.batch1), jnp.asarray(batch.batch2),
                 jnp.asarray(batch.mask), neg_cdf,
             )
-            train_cost = float(loss)
-            train_mrr = float(aux["mrr"])
+            # EMA bookkeeping stays on device (lazy jnp scalars) — a host
+            # fetch per step would cost a full tunnel round-trip (~40ms).
+            train_mrr = aux["mrr"]
             if train_shadow_mrr is None:
                 train_shadow_mrr = train_mrr
             else:
@@ -175,12 +201,11 @@ def train(flags: TrainFlags, graph=None) -> dict:
 
             if it % flags.validate_iter == 0:
                 vb = batcher.sample_val_batch(flags.validate_batch_size)
-                vloss, vmrr = eval_step(
+                val_cost, val_mrr = eval_step(
                     params, features, full_adj,
                     jnp.asarray(vb.batch1), jnp.asarray(vb.batch2),
                     jnp.asarray(vb.mask), neg_cdf, eval_key,
                 )
-                val_cost, val_mrr = float(vloss), float(vmrr)
             if shadow_mrr is None:
                 shadow_mrr = val_mrr
             else:
@@ -191,16 +216,25 @@ def train(flags: TrainFlags, graph=None) -> dict:
             ) / (total_steps + 1)
 
             if total_steps % flags.print_every == 0:
+                scal = {
+                    "train_loss": float(loss),
+                    "train_mrr": float(train_mrr),
+                    "train_mrr_ema": float(train_shadow_mrr),
+                    "val_loss": float(val_cost),
+                    "val_mrr": float(val_mrr),
+                    "val_mrr_ema": float(shadow_mrr),
+                }
                 print(
                     "Iter:", "%04d" % it,
-                    "train_loss=", "{:.5f}".format(train_cost),
-                    "train_mrr=", "{:.5f}".format(train_mrr),
-                    "train_mrr_ema=", "{:.5f}".format(train_shadow_mrr),
-                    "val_loss=", "{:.5f}".format(val_cost),
-                    "val_mrr=", "{:.5f}".format(val_mrr),
-                    "val_mrr_ema=", "{:.5f}".format(shadow_mrr),
+                    "train_loss=", "{:.5f}".format(scal["train_loss"]),
+                    "train_mrr=", "{:.5f}".format(scal["train_mrr"]),
+                    "train_mrr_ema=", "{:.5f}".format(scal["train_mrr_ema"]),
+                    "val_loss=", "{:.5f}".format(scal["val_loss"]),
+                    "val_mrr=", "{:.5f}".format(scal["val_mrr"]),
+                    "val_mrr_ema=", "{:.5f}".format(scal["val_mrr_ema"]),
                     "time=", "{:.5f}".format(avg_time),
                 )
+                logger.log(total_steps, step_time=avg_time, **scal)
 
             total_steps += 1
             if (flags.checkpoint_dir and flags.checkpoint_every
@@ -211,6 +245,10 @@ def train(flags: TrainFlags, graph=None) -> dict:
                 break
         if stop:
             break
+
+    if flags.profile_dir:
+        jax.profiler.stop_trace()
+    logger.close()
 
     print("Optimization Finished!")
     if flags.save_embeddings:
@@ -228,9 +266,9 @@ def train(flags: TrainFlags, graph=None) -> dict:
 
     return {
         "params": params,
-        "val_loss": val_cost,
-        "val_mrr": val_mrr,
-        "shadow_mrr": shadow_mrr,
+        "val_loss": float(val_cost),
+        "val_mrr": float(val_mrr),
+        "shadow_mrr": float(shadow_mrr) if shadow_mrr is not None else 0.0,
         "steps": total_steps,
         "log_dir": log_dir,
     }
@@ -273,7 +311,7 @@ def _train_n2v(flags: TrainFlags, graph, deg, batcher: EdgeBatcher,
                 jnp.asarray(batch.batch1), jnp.asarray(batch.batch2),
                 jnp.asarray(batch.mask), uni_logits,
             )
-            train_mrr = float(aux["mrr"])
+            train_mrr = aux["mrr"]
             if train_shadow_mrr is None:
                 train_shadow_mrr = train_mrr
             else:
@@ -285,8 +323,8 @@ def _train_n2v(flags: TrainFlags, graph, deg, batcher: EdgeBatcher,
                 print(
                     "Iter:", "%04d" % it,
                     "train_loss=", "{:.5f}".format(float(loss)),
-                    "train_mrr=", "{:.5f}".format(train_mrr),
-                    "train_mrr_ema=", "{:.5f}".format(train_shadow_mrr),
+                    "train_mrr=", "{:.5f}".format(float(train_mrr)),
+                    "train_mrr_ema=", "{:.5f}".format(float(train_shadow_mrr)),
                     "time=", "{:.5f}".format(avg_time),
                 )
             total_steps += 1

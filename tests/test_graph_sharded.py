@@ -1,0 +1,118 @@
+"""P2 graph-sharding tests on the virtual 8-device CPU mesh."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from graphsage_tpu.parallel.graph_sharded import (
+    exchange_gather,
+    make_sharded_supervised_step,
+    shard_rows,
+)
+
+D = 8
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return Mesh(np.asarray(jax.devices()[:D]), ("graph",))
+
+
+def _replicated_gather(mesh, table, idx, capacity):
+    local_t, _ = shard_rows(np.asarray(table), D)
+    f = shard_map(
+        functools.partial(
+            exchange_gather, axis_name="graph", capacity=capacity
+        ),
+        mesh=mesh,
+        in_specs=(P("graph"), P()),
+        out_specs=P(),
+        check_rep=False,
+    )
+    return np.asarray(f(jnp.asarray(local_t), jnp.asarray(idx)))
+
+
+def test_exchange_gather_matches_take(mesh, np_rng):
+    table = np_rng.standard_normal((37, 5)).astype(np.float32)
+    idx = np_rng.integers(0, 37, (23,)).astype(np.int32)
+    out = _replicated_gather(mesh, table, idx, capacity=23)
+    np.testing.assert_allclose(out, table[idx], rtol=1e-6)
+
+
+def test_exchange_gather_int_rows(mesh, np_rng):
+    table = np_rng.integers(0, 100, (24, 4)).astype(np.int32)
+    idx = np_rng.integers(0, 24, (11,)).astype(np.int32)
+    out = _replicated_gather(mesh, table, idx, capacity=11)
+    np.testing.assert_array_equal(out, table[idx])
+
+
+def test_exchange_gather_capacity_overflow_zeros(mesh):
+    table = np.arange(16, dtype=np.float32).reshape(16, 1) + 1.0
+    # all requests hit shard 0 (rows 0..1); capacity 3 < 6 requests
+    idx = np.zeros(6, dtype=np.int32)
+    out = _replicated_gather(mesh, table, idx, capacity=3)
+    assert (out[:3] == 1.0).all()
+    assert (out[3:] == 0.0).all()
+
+
+def test_sharded_supervised_step_matches_single_device(mesh, toy_graph):
+    """With the deterministic first_k sampler the sharded step's loss is
+    exactly the single-device loss."""
+    import dataclasses
+
+    from graphsage_tpu.data.adjacency import build_both_adjs
+    from graphsage_tpu.models.graphsage import LayerInfo, SAGEConfig
+    from graphsage_tpu.models.supervised import (
+        SupervisedConfig,
+        init_supervised_params,
+        make_optimizer,
+        supervised_loss,
+    )
+
+    g = toy_graph
+    adj, deg, _ = build_both_adjs(g, max_degree=8)
+    feats = g.padded_features()
+
+    sage = SAGEConfig(
+        layers=(LayerInfo(4, 8), LayerInfo(3, 8)),
+        feature_dim=feats.shape[1],
+        aggregator="mean",
+        sampler_mode="first_k",
+    )
+    sup = SupervisedConfig(sage=sage, num_classes=g.num_classes,
+                           sigmoid_loss=False, weight_decay=0.01)
+    params = init_supervised_params(jax.random.key(0), sup)
+    optimizer = make_optimizer(0.01)
+    opt_state = optimizer.init(params)
+
+    B = 16
+    ids = np.arange(B, dtype=np.int32)
+    labels = g.labels[ids]
+    mask = np.ones(B, dtype=np.float32)
+    rng = jax.random.key(7)
+
+    ref_loss, _ = supervised_loss(
+        params, jnp.asarray(feats), jnp.asarray(adj), jnp.asarray(ids),
+        jnp.asarray(labels), jnp.asarray(mask), rng, sup,
+        deterministic=True,
+    )
+
+    feat_sh, _ = shard_rows(feats, D)
+    adj_sh, _ = shard_rows(adj, D)
+    w_before = np.asarray(params["head"]["w"])  # params donated below
+    step = make_sharded_supervised_step(sup, optimizer, mesh,
+                                        capacity_factor=8.0)
+    params2, opt_state2, loss, preds = step(
+        params, opt_state, rng, jnp.asarray(feat_sh), jnp.asarray(adj_sh),
+        jnp.asarray(ids), jnp.asarray(labels), jnp.asarray(mask),
+    )
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
+    assert preds.shape == (B, g.num_classes)
+    # one optimizer step actually happened
+    diff = np.abs(np.asarray(params2["head"]["w"]) - w_before).max()
+    assert diff > 0
