@@ -49,6 +49,10 @@ def _add_common(p: argparse.ArgumentParser, defaults: TrainFlags):
     p.add_argument("--fused_gather", action=argparse.BooleanOptionalAction,
                    default=d.fused_gather,
                    help="Pallas fused gather+mean for the innermost hop")
+    p.add_argument("--feature_dtype", choices=("float32", "bfloat16"),
+                   default=d.feature_dtype,
+                   help="on-device feature table dtype (bfloat16 halves "
+                        "gather bandwidth)")
     p.add_argument("--seed", type=int, default=d.seed)
     p.add_argument("--checkpoint_dir", default=d.checkpoint_dir)
     p.add_argument("--checkpoint_every", type=int, default=d.checkpoint_every)

@@ -43,9 +43,10 @@ def _gather_mean_kernel(idx_ref, feat_ref, out_ref, scratch, sems,
                         *, S, F, tile_b):
     """One grid step computes TILE_B output rows (out block [tile_b, F]).
 
-    feat_ref is viewed as [N, 1, F] and scratch as [2, tile_b*S, 1, F] so
-    every DMA moves a (1, F) block that exactly spans the last two dims —
-    single-row slices of a [N, F] array violate Mosaic's 8-sublane tiling.
+    feat_ref is viewed as [N, R, F/R] and scratch as [2, tile_b*S, R, F/R]
+    (R = sublane packing of the dtype) so every DMA moves a block that
+    exactly spans the last two dims — single-row slices of a [N, F] array
+    violate Mosaic's sublane tiling.
     """
     t = pl.program_id(0)
     n_tiles = pl.num_programs(0)
@@ -80,17 +81,25 @@ def _gather_mean_kernel(idx_ref, feat_ref, out_ref, scratch, sems,
     out_ref[:, :] = jnp.sum(block, axis=1) * (1.0 / S)
 
 
-def pad_feature_dim(features):
-    """Zero-pad the trailing (feature) axis to a multiple of 128 lanes.
+def _row_sublanes(dtype) -> int:
+    """Sublane granularity of a single-row DMA view: f32 rows DMA as
+    (1, F) blocks; bf16 packs 2 values per sublane word, so rows must be
+    viewed as (2, F/2) to satisfy Mosaic's alignment."""
+    return 2 if jnp.dtype(dtype) == jnp.bfloat16 else 1
 
-    Mosaic DMAs of single rows require the row to span whole lanes; do
-    this ONCE at setup (host or device) and slice gathered rows back to
-    the logical dim — per-step padding would copy the whole table.
+
+def pad_feature_dim(features, dtype=None):
+    """Zero-pad the trailing (feature) axis so fused_gather_mean can DMA
+    whole rows: multiple of 128 lanes for f32, 256 for bf16.
+
+    Do this ONCE at setup (host or device) and slice gathered rows back
+    to the logical dim — per-step padding would copy the whole table.
     """
     import numpy as np
 
+    mult = 128 * _row_sublanes(dtype if dtype is not None else features.dtype)
     F = features.shape[-1]
-    pad = (-F) % 128
+    pad = (-F) % mult
     if pad == 0:
         return features
     if isinstance(features, np.ndarray):
@@ -109,11 +118,14 @@ def fused_gather_mean(features, idx, interpret: bool = False):
     """
     B, S = idx.shape
     N, F = features.shape
+    R = _row_sublanes(features.dtype)
     on_tpu = jax.default_backend() not in ("cpu", "gpu")
-    if not interpret and (F % 128 != 0 or not on_tpu):
+    if not interpret and (F % (128 * R) != 0 or not on_tpu):
         # Non-TPU backends and unpadded feature dims take the XLA path;
         # the kernel is a drop-in numeric equivalent either way.
-        return gather_mean_reference(features, idx)
+        return gather_mean_reference(
+            features.astype(jnp.float32), idx
+        )
 
     # Scalar-prefetched idx lives in SMEM lane-padded to [B, 128]; chunk
     # the call so each kernel stays well under the 1MB SMEM budget.
@@ -141,7 +153,7 @@ def fused_gather_mean(features, idx, interpret: bool = False):
             (TILE_B, F), lambda t, idx_ref: (t, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, TILE_B * S, 1, F), features.dtype),
+            pltpu.VMEM((2, TILE_B * S, R, F // R), features.dtype),
             pltpu.SemaphoreType.DMA((2, TILE_B * S)),
         ],
     )
@@ -161,5 +173,5 @@ def fused_gather_mean(features, idx, interpret: bool = False):
             bytes_accessed=Bp * S * F * features.dtype.itemsize + Bp * F * 4,
             transcendentals=0,
         ),
-    )(idx, features.reshape(N, 1, F))
+    )(idx, features.reshape(N, R, F // R))
     return out[:B] if pad else out

@@ -235,3 +235,79 @@ def make_sharded_supervised_step(
         check_rep=False,
     )
     return jax.jit(mapped, donate_argnums=(0, 1))
+
+
+def make_sharded_unsupervised_step(
+    unsup_config,
+    optimizer,
+    mesh,
+    axis_name: str = "graph",
+    capacity_factor: float = 4.0,
+):
+    """Graph-sharded three-tower skip-gram step.
+
+    batch1/batch2 edge endpoints split along the axis; every device draws
+    its own negative tower slice (neg_sample_size per device stays the
+    reference value — negatives are per-shard like per-batch in the
+    reference's semantics when batch is sharded).
+    """
+    from graphsage_tpu.models.graphsage import l2_normalize
+    from graphsage_tpu.nn import prediction
+    from graphsage_tpu.nn.negative import sample_negatives
+
+    config = unsup_config.sage
+
+    def local_loss(params, feat_local, adj_local, b1, b2, mask, neg_cdf,
+                   rng, global_mask_sum):
+        r_neg, r1, r2, r3 = jax.random.split(
+            jax.random.fold_in(rng, jax.lax.axis_index(axis_name)), 4
+        )
+        neg_ids = sample_negatives(r_neg, neg_cdf,
+                                   unsup_config.neg_sample_size)
+        embed = functools.partial(
+            sharded_sage_embed,
+            params=params, feat_local=feat_local, adj_local=adj_local,
+            config=config, axis_name=axis_name,
+            capacity_factor=capacity_factor,
+            deterministic=config.dropout == 0.0,
+        )
+        out1 = l2_normalize(embed(ids=b1, rng=r1), 1)
+        out2 = l2_normalize(embed(ids=b2, rng=r2), 1)
+        neg = l2_normalize(embed(ids=neg_ids, rng=r3), 1)
+        raw = prediction.edge_pred_loss(
+            out1, out2, neg,
+            loss_fn=unsup_config.loss_fn, mask=mask,
+            neg_sample_weights=unsup_config.neg_sample_weights,
+        )
+        loss = raw / global_mask_sum
+        aff = prediction.affinity(out1, out2)
+        neg_aff = prediction.neg_cost(out1, neg)
+        _, mrr = prediction.mrr_and_ranks(aff, neg_aff, mask)
+        return loss, (mrr, out1)
+
+    def step(params, opt_state, rng, feat_local, adj_local, b1, b2, mask,
+             neg_cdf):
+        global_mask_sum = jnp.maximum(
+            jax.lax.psum(jnp.sum(mask), axis_name), 1.0
+        )
+        (loss, (mrr, out1)), grads = jax.value_and_grad(
+            local_loss, has_aux=True
+        )(params, feat_local, adj_local, b1, b2, mask, neg_cdf, rng,
+          global_mask_sum)
+        loss = jax.lax.psum(loss, axis_name)
+        grads = jax.lax.psum(grads, axis_name)
+        mrr = jax.lax.pmean(mrr, axis_name)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, mrr, out1
+
+    rep = P()
+    sh = P(axis_name)
+    mapped = shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(rep, rep, rep, sh, sh, sh, sh, sh, rep),
+        out_specs=(rep, rep, rep, rep, sh),
+        check_rep=False,
+    )
+    return jax.jit(mapped, donate_argnums=(0, 1))

@@ -117,7 +117,9 @@ def train(flags: TrainFlags, graph=None) -> dict:
         from graphsage_tpu.ops.gather import pad_feature_dim
 
         feats_np = pad_feature_dim(feats_np)
-    features = None if feats_np is None else jnp.asarray(feats_np)
+    features = None if feats_np is None else jnp.asarray(
+        feats_np, dtype=jnp.dtype(flags.feature_dtype)
+    )
     train_adj = jnp.asarray(train_adj_np)
     full_adj = jnp.asarray(full_adj_np)
 

@@ -12,6 +12,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from graphsage_tpu.parallel.graph_sharded import (
     exchange_gather,
     make_sharded_supervised_step,
+    make_sharded_unsupervised_step,
     shard_rows,
 )
 
@@ -116,3 +117,45 @@ def test_sharded_supervised_step_matches_single_device(mesh, toy_graph):
     # one optimizer step actually happened
     diff = np.abs(np.asarray(params2["head"]["w"]) - w_before).max()
     assert diff > 0
+
+
+def test_sharded_unsupervised_step_runs(mesh, toy_graph):
+    from graphsage_tpu.data.adjacency import build_both_adjs
+    from graphsage_tpu.models.graphsage import LayerInfo, SAGEConfig
+    from graphsage_tpu.models.supervised import make_optimizer
+    from graphsage_tpu.models.unsupervised import (
+        UnsupervisedConfig,
+        init_unsupervised_params,
+    )
+    from graphsage_tpu.nn.negative import unigram_cdf
+
+    g = toy_graph
+    adj, deg, _ = build_both_adjs(g, max_degree=8)
+    feats = g.padded_features()
+    sage = SAGEConfig(
+        layers=(LayerInfo(4, 8), LayerInfo(3, 8)),
+        feature_dim=feats.shape[1],
+        aggregator="mean",
+    )
+    unsup = UnsupervisedConfig(sage=sage, neg_sample_size=5)
+    params = init_unsupervised_params(jax.random.key(0), unsup)
+    optimizer = make_optimizer(1e-4)
+    opt_state = optimizer.init(params)
+
+    B = 16
+    edges = g.edges[:B]
+    mask = np.ones(B, dtype=np.float32)
+    feat_sh, _ = shard_rows(feats, D)
+    adj_sh, _ = shard_rows(adj, D)
+    neg_cdf = jnp.asarray(unigram_cdf(deg))
+
+    step = make_sharded_unsupervised_step(unsup, optimizer, mesh,
+                                          capacity_factor=8.0)
+    params, opt_state, loss, mrr, out1 = step(
+        params, opt_state, jax.random.key(1), jnp.asarray(feat_sh),
+        jnp.asarray(adj_sh), jnp.asarray(edges[:, 0]),
+        jnp.asarray(edges[:, 1]), jnp.asarray(mask), neg_cdf,
+    )
+    assert np.isfinite(float(loss))
+    assert 0.0 <= float(mrr) <= 1.0
+    assert out1.shape == (B, sage.output_dim)

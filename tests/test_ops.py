@@ -20,6 +20,27 @@ def test_fused_gather_mean_matches_reference(np_rng, B, S, F):
                                atol=1e-6)
 
 
+def test_pad_feature_dim_dtype_aware(np_rng):
+    from graphsage_tpu.ops.gather import pad_feature_dim
+
+    x = np_rng.standard_normal((4, 602)).astype(np.float32)
+    assert pad_feature_dim(x).shape[1] == 640           # 128-mult for f32
+    assert pad_feature_dim(x, jnp.bfloat16).shape[1] == 768  # 256 for bf16
+    assert pad_feature_dim(np.zeros((2, 256)), jnp.bfloat16).shape[1] == 256
+
+
+def test_feature_dtype_bfloat16_trains(tmp_path):
+    from graphsage_tpu.data.synthetic import make_synthetic_graph
+    from graphsage_tpu.train.supervised import train
+    from tests.test_train import tiny_flags
+
+    g = make_synthetic_graph(num_nodes=80, num_classes=3, feat_dim=8, seed=3)
+    flags = tiny_flags(tmp_path, feature_dtype="bfloat16", epochs=1,
+                       max_total_steps=5)
+    result = train(flags, graph=g)
+    assert np.isfinite(result["val_loss"])
+
+
 def test_fused_gather_mean_bf16_input(np_rng):
     feats = jnp.asarray(
         np_rng.standard_normal((32, 16)).astype(np.float32)
