@@ -110,6 +110,30 @@ def _capacity(m: int, n_shards: int, factor: float) -> int:
     return int(min(m, max(1, -(-m // n_shards) * factor)))
 
 
+def _embeds_spec_tree(tree, axis_name: str):
+    """PartitionSpec pytree: P(axis) for 'embeds' leaves (row-sharded
+    identity table), P() (replicated) elsewhere."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, _: (
+            P(axis_name)
+            if "embeds" in jax.tree_util.keystr(path) else P()
+        ),
+        tree,
+    )
+
+
+def _psum_except_embeds(grads, axis_name: str):
+    """psum replicated-param grads; the sharded identity-table grad is
+    already the full cross-device scatter-add (all_to_all transpose)."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, g: (
+            g if "embeds" in jax.tree_util.keystr(path)
+            else jax.lax.psum(g, axis_name)
+        ),
+        grads,
+    )
+
+
 def sharded_sage_embed(
     params,
     feat_local,
@@ -122,7 +146,14 @@ def sharded_sage_embed(
     deterministic: bool = True,
 ):
     """sage_embed over row-sharded feat/adj: frontier expansion and all
-    feature gathers ride exchange_gather; aggregation is fully local."""
+    feature gathers ride exchange_gather; aggregation is fully local.
+
+    With ``identity_dim > 0`` the trainable table lives row-sharded in
+    ``params["embeds"]`` (local shard per device); its gather runs through
+    the same all-to-all, and autodiff transposes that into a cross-device
+    scatter-add of the gradient back to each owner shard — the "identity
+    embeddings at scale" story (SURVEY.md §7 hard parts).
+    """
     D = jax.lax.axis_size(axis_name)
     fanouts = config.fanouts
     n_layers = len(fanouts)
@@ -141,18 +172,21 @@ def sharded_sage_embed(
         )
         samples.append(nxt.reshape(-1))
 
-    if config.identity_dim > 0:
-        raise NotImplementedError(
-            "sharded path: identity embeddings need a sharded table "
-            "(planned); train with identity_dim=0 or the replicated path"
-        )
     hidden = []
     for s in samples:
-        feats = exchange_gather(
-            feat_local, s, axis_name,
-            _capacity(s.shape[0], D, capacity_factor),
+        cap = _capacity(s.shape[0], D, capacity_factor)
+        parts = []
+        if config.identity_dim > 0:
+            parts.append(
+                exchange_gather(params["embeds"], s, axis_name, cap)
+            )
+        if feat_local is not None and config.feature_dim > 0:
+            feats = exchange_gather(feat_local, s, axis_name, cap)
+            parts.append(feats[:, : config.feature_dim])
+        hidden.append(
+            parts[0] if len(parts) == 1
+            else jnp.concatenate(parts, axis=1)
         )
-        hidden.append(feats[:, : config.feature_dim])
     return aggregate_pyramid(
         params, hidden, ids.shape[0], config,
         rng=None if deterministic else keys[-1],
@@ -166,11 +200,17 @@ def make_sharded_supervised_step(
     mesh,
     axis_name: str = "graph",
     capacity_factor: float = 4.0,
+    params_like=None,
+    opt_state_like=None,
 ):
     """Data-parallel + graph-sharded supervised train step via shard_map.
 
     Params/opt state are replicated; feat/adj row-sharded; the batch is
-    split along the axis. Gradients psum over the axis.
+    split along the axis. Gradients psum over the axis. With
+    ``identity_dim > 0`` pass ``params_like``/``opt_state_like`` (their
+    structure drives the spec trees): the 'embeds' table and its
+    optimizer moments are row-sharded along the axis and their grads skip
+    the psum (exchange_gather's transpose already routed them home).
     """
     from graphsage_tpu.models.supervised import (
         _sigmoid_xent,
@@ -219,7 +259,7 @@ def make_sharded_supervised_step(
         )(params, feat_local, adj_local, ids, labels, mask, rng,
           global_mask_sum)
         loss = jax.lax.psum(loss, axis_name)
-        grads = jax.lax.psum(grads, axis_name)
+        grads = _psum_except_embeds(grads, axis_name)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         preds = supervised_predict(logits, sup_config)
@@ -227,11 +267,20 @@ def make_sharded_supervised_step(
 
     rep = P()
     sh = P(axis_name)
+    if config.identity_dim > 0:
+        assert params_like is not None and opt_state_like is not None, (
+            "identity_dim > 0: pass params_like/opt_state_like so the "
+            "'embeds' leaves can be marked row-sharded"
+        )
+        p_spec = _embeds_spec_tree(params_like, axis_name)
+        o_spec = _embeds_spec_tree(opt_state_like, axis_name)
+    else:
+        p_spec = o_spec = rep
     mapped = shard_map(
         step,
         mesh=mesh,
-        in_specs=(rep, rep, rep, sh, sh, sh, sh, sh),
-        out_specs=(rep, rep, rep, sh),
+        in_specs=(p_spec, o_spec, rep, sh, sh, sh, sh, sh),
+        out_specs=(p_spec, o_spec, rep, sh),
         check_rep=False,
     )
     return jax.jit(mapped, donate_argnums=(0, 1))

@@ -119,6 +119,77 @@ def test_sharded_supervised_step_matches_single_device(mesh, toy_graph):
     assert diff > 0
 
 
+def test_sharded_identity_embeds_match_single_device(mesh, toy_graph):
+    """identity_dim > 0: the row-sharded trainable table gets the same
+    one-step update as the single-device path (grads routed home through
+    the all-to-all transpose)."""
+    from graphsage_tpu.data.adjacency import build_both_adjs
+    from graphsage_tpu.models.graphsage import LayerInfo, SAGEConfig
+    from graphsage_tpu.models.supervised import (
+        SupervisedConfig,
+        init_supervised_params,
+        make_optimizer,
+    )
+    from graphsage_tpu.parallel.dp import make_supervised_train_step
+
+    g = toy_graph
+    adj, _, _ = build_both_adjs(g, max_degree=8)
+    feats = g.padded_features()
+    sage = SAGEConfig(
+        layers=(LayerInfo(4, 8), LayerInfo(3, 8)),
+        feature_dim=feats.shape[1],
+        aggregator="mean",
+        sampler_mode="first_k",
+        identity_dim=4,
+        num_nodes=g.num_nodes,
+    )
+    sup = SupervisedConfig(sage=sage, num_classes=g.num_classes)
+    params = init_supervised_params(jax.random.key(0), sup)
+    optimizer = make_optimizer(0.05)
+    opt_state = optimizer.init(params)
+
+    B = 16
+    ids = np.arange(B, dtype=np.int32)
+    labels = g.labels[ids]
+    mask = np.ones(B, dtype=np.float32)
+    rng = jax.random.key(7)
+
+    # single-device step (dropout=0 => deterministic forward; sampling
+    # pinned by first_k so rng derivation differences don't matter)
+    single = make_supervised_train_step(sup, optimizer)
+    p1, _, loss1, _ = jax.jit(single)(
+        jax.tree.map(jnp.copy, params), optimizer.init(params), rng,
+        jnp.asarray(feats), jnp.asarray(adj), jnp.asarray(ids),
+        jnp.asarray(labels), jnp.asarray(mask),
+    )
+
+    # sharded step with row-sharded embeds
+    emb_sh, _ = shard_rows(np.asarray(params["embeds"]), D)
+    params_sh = dict(params)
+    params_sh["embeds"] = jnp.asarray(emb_sh)
+    opt_sh = optimizer.init(params_sh)
+    feat_sh, _ = shard_rows(feats, D)
+    adj_sh, _ = shard_rows(adj, D)
+    step = make_sharded_supervised_step(
+        sup, optimizer, mesh, capacity_factor=8.0,
+        params_like=params_sh, opt_state_like=opt_sh,
+    )
+    p2, _, loss2, _ = step(
+        params_sh, opt_sh, rng, jnp.asarray(feat_sh), jnp.asarray(adj_sh),
+        jnp.asarray(ids), jnp.asarray(labels), jnp.asarray(mask),
+    )
+    np.testing.assert_allclose(float(loss2), float(loss1), rtol=1e-5)
+    n_rows = g.num_nodes + 1
+    np.testing.assert_allclose(
+        np.asarray(p2["embeds"])[:n_rows], np.asarray(p1["embeds"]),
+        rtol=1e-4, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(p2["head"]["w"]), np.asarray(p1["head"]["w"]),
+        rtol=1e-4, atol=1e-6,
+    )
+
+
 def test_sharded_unsupervised_step_runs(mesh, toy_graph):
     from graphsage_tpu.data.adjacency import build_both_adjs
     from graphsage_tpu.models.graphsage import LayerInfo, SAGEConfig
