@@ -45,6 +45,12 @@ def _add_common(p: argparse.ArgumentParser, defaults: TrainFlags):
                    default=d.validate_batch_size)
     p.add_argument("--print_every", type=int, default=d.print_every)
     p.add_argument("--max_total_steps", type=int, default=d.max_total_steps)
+    # accepted for drop-in compatibility with the reference CLI; no-ops
+    # on TPU (reference: --gpu pins CUDA_VISIBLE_DEVICES,
+    # supervised_train.py:55-59; --log_device_placement is a TF1 knob)
+    p.add_argument("--gpu", type=int, default=1, help=argparse.SUPPRESS)
+    p.add_argument("--log_device_placement", action="store_true",
+                   help=argparse.SUPPRESS)
     # TPU-native additions
     p.add_argument("--fused_gather", action=argparse.BooleanOptionalAction,
                    default=d.fused_gather,

@@ -161,6 +161,11 @@ class EdgeBatcher:
             yield from self._batches_of(self.val_pairs[ind])
 
     def sample_val_batch(self, size: int) -> EdgeBatch:
+        """Random val-edge batch. ``size <= 0`` (the reference's
+        validate_batch_size=-1 convention) falls back to one full batch —
+        static shapes rule out a truly variable batch here."""
+        if size <= 0 or size > self.batch_size:
+            size = self.batch_size
         ind = self._rng.permutation(len(self.val_pairs))[
             : min(size, len(self.val_pairs))
         ]

@@ -31,9 +31,12 @@ from jax.experimental.pallas import tpu as pltpu
 def gather_mean_reference(features, idx):
     """XLA reference: mean of features[idx] over the sample axis.
 
-    features: [N, F]; idx: [B, S] int32 -> [B, F].
+    features: [N, F]; idx: [B, S] int32 -> [B, F] float32. The upcast
+    happens on the gathered rows, never on the whole table (a pre-gather
+    astype would materialize a full-table copy every step).
     """
-    return jnp.take(features, idx, axis=0).mean(axis=1)
+    rows = jnp.take(features, idx, axis=0)
+    return rows.astype(jnp.float32).mean(axis=1)
 
 
 TILE_B = 8  # output rows per grid step (Pallas sublane minimum for f32)
@@ -51,20 +54,32 @@ def _gather_mean_kernel(idx_ref, feat_ref, out_ref, scratch, sems,
     t = pl.program_id(0)
     n_tiles = pl.num_programs(0)
 
+    # Hybrid unroll: fori_loop over the tile's rows (keeps Mosaic code
+    # size ~S DMA pairs — a full tile_b*S unroll stalls the compiler),
+    # with the S per-row DMAs unrolled inline (a full fori_loop serializes
+    # issue and halves throughput).
     def issue(tile, slot):
-        for r in range(tile_b):
+        def body(r, _):
             for s in range(S):
                 pltpu.make_async_copy(
                     feat_ref.at[idx_ref[tile * tile_b + r, s]],
                     scratch.at[slot, r * S + s],
                     sems.at[slot, r * S + s],
                 ).start()
+            return 0
+
+        jax.lax.fori_loop(0, tile_b, body, 0)
 
     def wait(slot):
-        for k in range(tile_b * S):
-            pltpu.make_async_copy(
-                feat_ref.at[0], scratch.at[slot, k], sems.at[slot, k]
-            ).wait()
+        def body(r, _):
+            for s in range(S):
+                pltpu.make_async_copy(
+                    feat_ref.at[0], scratch.at[slot, r * S + s],
+                    sems.at[slot, r * S + s],
+                ).wait()
+            return 0
+
+        jax.lax.fori_loop(0, tile_b, body, 0)
 
     slot = jax.lax.rem(t, 2)
 
@@ -120,12 +135,18 @@ def fused_gather_mean(features, idx, interpret: bool = False):
     N, F = features.shape
     R = _row_sublanes(features.dtype)
     on_tpu = jax.default_backend() not in ("cpu", "gpu")
-    if not interpret and (F % (128 * R) != 0 or not on_tpu):
-        # Non-TPU backends and unpadded feature dims take the XLA path;
-        # the kernel is a drop-in numeric equivalent either way.
-        return gather_mean_reference(
-            features.astype(jnp.float32), idx
-        )
+    use_kernel = (
+        interpret
+        or (on_tpu and F % (128 * R) == 0
+            # The kernel is DMA-issue-bound (~1 row DMA per sample), so it
+            # only beats XLA's gather for 4-byte rows; sub-f32 dtypes halve
+            # XLA's bandwidth cost but not the kernel's DMA count —
+            # measured: pallas f32 3.9ms vs xla f32 4.5ms, but xla bf16
+            # 3.4ms vs pallas bf16 4.6ms at the Reddit innermost-hop shape.
+            and jnp.dtype(features.dtype).itemsize == 4)
+    )
+    if not use_kernel:
+        return gather_mean_reference(features, idx)
 
     # Scalar-prefetched idx lives in SMEM lane-padded to [B, 128]; chunk
     # the call so each kernel stays well under the 1MB SMEM budget.

@@ -47,6 +47,62 @@ def make_supervised_train_step(config: SupervisedConfig, optimizer):
     return step
 
 
+def make_supervised_chunk_runner(config: SupervisedConfig, optimizer,
+                                 batch_size: int, n_steps: int):
+    """Run ``n_steps`` training steps in ONE dispatch via lax.fori_loop.
+
+    The reference crosses the host<->device boundary every minibatch
+    (supervised_train.py:270-275). Here the whole epoch's shuffled id
+    stream lives on device (``ids_perm`` = device-side permutation of the
+    padded train-node array; dummy-padded entries carry zero mask), so a
+    dispatch covers n_steps steps and the host only syncs at chunk
+    boundaries — essential when each host round-trip costs ~40ms on a
+    remoted TPU.
+
+    runner(params, opt_state, rng, features, adj, ids_perm, labels_table,
+           start_step) -> (params, opt_state, last_loss, last_logits,
+           last_ids)
+    """
+    num_nodes = config.sage.num_nodes
+
+    def one_step(carry, step_idx, features, adj, ids_perm, labels_table,
+                 rng):
+        params, opt_state = carry
+        ids = jax.lax.dynamic_slice(
+            ids_perm, (step_idx * batch_size,), (batch_size,)
+        )
+        labels = jnp.take(labels_table, ids, axis=0)
+        mask = (ids != num_nodes).astype(jnp.float32)
+        step_rng = jax.random.fold_in(rng, step_idx)
+        (loss, logits), grads = jax.value_and_grad(
+            supervised_loss, has_aux=True
+        )(params, features, adj, ids, labels, mask, step_rng, config,
+          deterministic=False)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state), (loss, logits, ids)
+
+    def runner(params, opt_state, rng, features, adj, ids_perm,
+               labels_table, start_step):
+        def body(j, state):
+            carry, _ = state
+            return one_step(carry, start_step + j, features, adj, ids_perm,
+                            labels_table, rng)
+
+        bsz = batch_size
+        dummy_out = (
+            jnp.zeros(()),
+            jnp.zeros((bsz, labels_table.shape[1])),
+            jnp.zeros((bsz,), jnp.int32),
+        )
+        (params, opt_state), (loss, logits, ids) = jax.lax.fori_loop(
+            0, n_steps, body, ((params, opt_state), dummy_out)
+        )
+        return params, opt_state, loss, logits, ids
+
+    return runner
+
+
 def make_unsupervised_train_step(config: UnsupervisedConfig, optimizer):
     """step(params, opt_state, rng, features, adj, b1, b2, mask, neg_cdf)
     -> (params, opt_state, loss, aux)."""
@@ -61,6 +117,56 @@ def make_unsupervised_train_step(config: UnsupervisedConfig, optimizer):
         return params, opt_state, loss, aux
 
     return step
+
+
+def make_unsupervised_chunk_runner(config: UnsupervisedConfig, optimizer,
+                                   batch_size: int, n_steps: int,
+                                   num_nodes: int):
+    """n_steps unsupervised steps per dispatch (see
+    make_supervised_chunk_runner). The train-MRR EMA ("shadow",
+    reference unsupervised_train.py:277-279) is carried through the loop
+    on device.
+
+    runner(params, opt_state, shadow_mrr, rng, features, adj, pairs_perm
+           [P,2], neg_cdf, start_step)
+    -> (params, opt_state, shadow_mrr, last_loss, last_mrr)
+    """
+
+    def one_step(carry, step_idx, features, adj, pairs_perm, neg_cdf, rng):
+        params, opt_state, shadow = carry
+        pair = jax.lax.dynamic_slice(
+            pairs_perm, (step_idx * batch_size, 0), (batch_size, 2)
+        )
+        b1, b2 = pair[:, 0], pair[:, 1]
+        mask = (b1 != num_nodes).astype(jnp.float32)
+        step_rng = jax.random.fold_in(rng, step_idx)
+        (loss, aux), grads = jax.value_and_grad(
+            unsupervised_loss, has_aux=True
+        )(params, features, adj, b1, b2, mask, neg_cdf, step_rng, config,
+          deterministic=False)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        mrr = aux["mrr"]
+        shadow = jnp.where(
+            shadow < 0, mrr, shadow - (1 - 0.99) * (shadow - mrr)
+        )
+        return (params, opt_state, shadow), (loss, mrr)
+
+    def runner(params, opt_state, shadow_mrr, rng, features, adj,
+               pairs_perm, neg_cdf, start_step):
+        def body(j, state):
+            carry, _ = state
+            return one_step(carry, start_step + j, features, adj,
+                            pairs_perm, neg_cdf, rng)
+
+        init = ((params, opt_state, shadow_mrr),
+                (jnp.zeros(()), jnp.zeros(())))
+        (params, opt_state, shadow_mrr), (loss, mrr) = jax.lax.fori_loop(
+            0, n_steps, body, init
+        )
+        return params, opt_state, shadow_mrr, loss, mrr
+
+    return runner
 
 
 def make_node2vec_train_step(config: Node2VecConfig, optimizer,

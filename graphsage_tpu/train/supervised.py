@@ -23,11 +23,9 @@ from graphsage_tpu.models.supervised import (
     SupervisedConfig,
     init_supervised_params,
     make_optimizer,
-    supervised_logits,
     supervised_loss,
     supervised_predict,
 )
-from graphsage_tpu.parallel.dp import make_supervised_train_step
 from graphsage_tpu.train import checkpoint as ckpt
 from graphsage_tpu.train.config import TrainFlags, build_layer_infos
 from graphsage_tpu.train.metrics import calc_f1
@@ -129,9 +127,38 @@ def train(flags: TrainFlags, graph=None) -> dict:
     optimizer = make_optimizer(flags.learning_rate)
     opt_state = optimizer.init(params)
 
-    step_fn = jax.jit(
-        make_supervised_train_step(config, optimizer), donate_argnums=(0, 1)
+    # Device-resident epoch stream: the padded train-id array and the
+    # label table live on device; each dispatch runs a CHUNK of steps via
+    # lax.fori_loop, so the host syncs only at print/validate cadence
+    # (per-step feed_dict round-trips are the reference's structural
+    # bottleneck, supervised_train.py:270-275 — and cost ~40ms each on
+    # remoted TPUs).
+    from graphsage_tpu.parallel.dp import make_supervised_chunk_runner
+
+    B = flags.batch_size
+    dummy = graph.num_nodes
+    train_nodes = batcher.train_nodes
+    steps_per_epoch = max(1, -(-len(train_nodes) // B))
+    ids_padded = np.full((steps_per_epoch * B,), dummy, dtype=np.int32)
+    ids_padded[: len(train_nodes)] = train_nodes
+    ids_padded_dev = jnp.asarray(ids_padded)
+    labels_table = np.zeros(
+        (graph.num_nodes + 1, graph.num_classes), dtype=np.float32
     )
+    labels_table[: graph.num_nodes] = graph.labels
+    labels_table_dev = jnp.asarray(labels_table)
+
+    _runners = {}
+
+    def get_runner(n_steps: int):
+        if n_steps not in _runners:
+            _runners[n_steps] = jax.jit(
+                make_supervised_chunk_runner(config, optimizer, B, n_steps),
+                donate_argnums=(0, 1),
+                static_argnames=(),
+            )
+        return _runners[n_steps]
+
     eval_step = make_eval_step(config)
     eval_key = jax.random.key(flags.seed + 1)
 
@@ -153,19 +180,23 @@ def train(flags: TrainFlags, graph=None) -> dict:
     if flags.profile_dir:
         jax.profiler.start_trace(flags.profile_dir)
 
+    chunk = max(1, min(flags.print_every, flags.validate_iter))
     for epoch in range(flags.epochs):
         print("Epoch: %04d" % (epoch + 1))
-        for it, batch in enumerate(batcher.epoch()):
+        key, epoch_key, loop_key = jax.random.split(key, 3)
+        ids_perm = jax.random.permutation(epoch_key, ids_padded_dev)
+        it = 0
+        while it < steps_per_epoch:
+            n = min(chunk, steps_per_epoch - it,
+                    max(1, flags.max_total_steps + 1 - total_steps))
             t = time.time()
-            key, sub = jax.random.split(key)
-            params, opt_state, loss, logits = step_fn(
-                params, opt_state, sub,
-                features, train_adj,
-                jnp.asarray(batch.ids), jnp.asarray(batch.labels),
-                jnp.asarray(batch.mask),
+            params, opt_state, loss, logits, last_ids = get_runner(n)(
+                params, opt_state, loop_key, features, train_adj,
+                ids_perm, labels_table_dev, it,
             )
 
-            if it % flags.validate_iter == 0:
+            # validate when [it, it+n) crosses a multiple of validate_iter
+            if (it + n - 1) % flags.validate_iter < n:
                 if flags.validate_batch_size == -1:
                     val_cost, vp, vl, _ = _run_eval(
                         eval_step, params, features, full_adj,
@@ -185,22 +216,25 @@ def train(flags: TrainFlags, graph=None) -> dict:
                         vb.labels[:k], np.asarray(vpred)[:k], sigmoid
                     )
 
+            it += n
+            total_steps += n
             avg_time = (
-                avg_time * total_steps + time.time() - t
-            ) / (total_steps + 1)
+                avg_time * (total_steps - n) + time.time() - t
+            ) / total_steps
 
-            # Device->host fetches happen only on print steps: each fetch
-            # is a full tunnel round-trip (~40ms on remoted TPUs) and
-            # would dominate the ~5ms step if done every iteration.
-            if total_steps % flags.print_every == 0:
-                k = int(batch.mask.sum())
+            # Host fetches only at chunk boundaries: each fetch is a full
+            # tunnel round-trip (~40ms on remoted TPUs).
+            if (total_steps - 1) % flags.print_every < n:
+                ids_np = np.asarray(last_ids)
+                keep = ids_np != dummy
                 preds = supervised_predict(logits, config)
                 f1_mic, f1_mac = calc_f1(
-                    batch.labels[:k], np.asarray(preds)[:k], sigmoid
+                    labels_table[ids_np[keep]], np.asarray(preds)[keep],
+                    sigmoid,
                 )
                 train_loss = float(loss)
                 print(
-                    "Iter:", "%04d" % it,
+                    "Iter:", "%04d" % (it - 1),
                     "train_loss=", "{:.5f}".format(train_loss),
                     "train_f1_mic=", "{:.5f}".format(f1_mic),
                     "train_f1_mac=", "{:.5f}".format(f1_mac),
@@ -210,16 +244,16 @@ def train(flags: TrainFlags, graph=None) -> dict:
                     "time=", "{:.5f}".format(avg_time),
                 )
                 logger.log(
-                    total_steps, train_loss=train_loss, train_f1_mic=f1_mic,
-                    train_f1_mac=f1_mac, val_loss=val_cost,
-                    val_f1_mic=val_f1_mic, val_f1_mac=val_f1_mac,
-                    step_time=avg_time,
+                    total_steps - 1, train_loss=train_loss,
+                    train_f1_mic=f1_mic, train_f1_mac=f1_mac,
+                    val_loss=val_cost, val_f1_mic=val_f1_mic,
+                    val_f1_mac=val_f1_mac, step_time=avg_time,
                 )
 
-            total_steps += 1
             if (flags.checkpoint_dir and flags.checkpoint_every
-                    and total_steps % flags.checkpoint_every == 0):
-                ckpt.save(flags.checkpoint_dir, params, opt_state, total_steps)
+                    and total_steps % flags.checkpoint_every < n):
+                ckpt.save(flags.checkpoint_dir, params, opt_state,
+                          total_steps)
             if total_steps > flags.max_total_steps:
                 stop = True
                 break

@@ -26,6 +26,18 @@ class ScalarLogger:
             except Exception:
                 self._tb = None
 
+    def log_histograms(self, step: int, params, prefix: str = "params"):
+        """Per-tensor histograms of a param pytree (reference layers.py:59-70
+        logs per-layer var histograms when logging=True)."""
+        if self._tb is None:
+            return
+        import jax
+        import numpy as np
+
+        for path, leaf in jax.tree_util.tree_leaves_with_path(params):
+            name = prefix + jax.tree_util.keystr(path)
+            self._tb.add_histogram(name, np.asarray(leaf), step)
+
     def log(self, step: int, **scalars):
         rec = {"step": step, "ts": time.time()}
         for k, v in scalars.items():

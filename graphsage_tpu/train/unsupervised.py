@@ -28,10 +28,7 @@ from graphsage_tpu.models.unsupervised import (
 )
 from graphsage_tpu.models.supervised import make_optimizer
 from graphsage_tpu.nn.negative import unigram_cdf, unigram_logits
-from graphsage_tpu.parallel.dp import (
-    make_node2vec_train_step,
-    make_unsupervised_train_step,
-)
+from graphsage_tpu.parallel.dp import make_node2vec_train_step
 from graphsage_tpu.train import checkpoint as ckpt
 from graphsage_tpu.train.config import TrainFlags, build_layer_infos
 
@@ -157,9 +154,30 @@ def train(flags: TrainFlags, graph=None) -> dict:
     optimizer = make_optimizer(flags.learning_rate)
     opt_state = optimizer.init(params)
 
-    step_fn = jax.jit(
-        make_unsupervised_train_step(config, optimizer), donate_argnums=(0, 1)
-    )
+    # Device-resident epoch stream (see supervised.py): padded edge pairs
+    # on device, permuted per epoch, chunked dispatches via lax.fori_loop.
+    from graphsage_tpu.parallel.dp import make_unsupervised_chunk_runner
+
+    B = flags.batch_size
+    dummy = graph.num_nodes
+    train_pairs = batcher.train_pairs
+    steps_per_epoch = max(1, -(-len(train_pairs) // B))
+    pairs_padded = np.full((steps_per_epoch * B, 2), dummy, dtype=np.int32)
+    pairs_padded[: len(train_pairs)] = train_pairs
+    pairs_padded_dev = jnp.asarray(pairs_padded)
+
+    _runners = {}
+
+    def get_runner(n_steps: int):
+        if n_steps not in _runners:
+            _runners[n_steps] = jax.jit(
+                make_unsupervised_chunk_runner(
+                    config, optimizer, B, n_steps, dummy
+                ),
+                donate_argnums=(0, 1),
+            )
+        return _runners[n_steps]
+
     eval_step = make_unsup_eval_step(config)
     embed_step = make_embed_step(config)
     eval_key = jax.random.key(flags.seed + 1)
@@ -183,25 +201,26 @@ def train(flags: TrainFlags, graph=None) -> dict:
     if flags.profile_dir:
         jax.profiler.start_trace(flags.profile_dir)
 
+    train_shadow = jnp.asarray(-1.0)  # <0 sentinel: EMA not initialized
+    chunk = max(1, min(flags.print_every, flags.validate_iter))
     for epoch in range(flags.epochs):
         print("Epoch: %04d" % (epoch + 1))
-        for it, batch in enumerate(batcher.epoch()):
+        key, epoch_key, loop_key = jax.random.split(key, 3)
+        pairs_perm = jax.random.permutation(
+            epoch_key, pairs_padded_dev, axis=0
+        )
+        it = 0
+        while it < steps_per_epoch:
+            n = min(chunk, steps_per_epoch - it,
+                    max(1, flags.max_total_steps + 1 - total_steps))
             t = time.time()
-            key, sub = jax.random.split(key)
-            params, opt_state, loss, aux = step_fn(
-                params, opt_state, sub, features, train_adj,
-                jnp.asarray(batch.batch1), jnp.asarray(batch.batch2),
-                jnp.asarray(batch.mask), neg_cdf,
+            params, opt_state, train_shadow, loss, train_mrr = get_runner(n)(
+                params, opt_state, train_shadow, loop_key, features,
+                train_adj, pairs_perm, neg_cdf, it,
             )
-            # EMA bookkeeping stays on device (lazy jnp scalars) — a host
-            # fetch per step would cost a full tunnel round-trip (~40ms).
-            train_mrr = aux["mrr"]
-            if train_shadow_mrr is None:
-                train_shadow_mrr = train_mrr
-            else:
-                train_shadow_mrr -= (1 - 0.99) * (train_shadow_mrr - train_mrr)
 
-            if it % flags.validate_iter == 0:
+            # validate when [it, it+n) crosses a multiple of validate_iter
+            if (it + n - 1) % flags.validate_iter < n:
                 vb = batcher.sample_val_batch(flags.validate_batch_size)
                 val_cost, val_mrr = eval_step(
                     params, features, full_adj,
@@ -213,21 +232,23 @@ def train(flags: TrainFlags, graph=None) -> dict:
             else:
                 shadow_mrr -= (1 - 0.99) * (shadow_mrr - val_mrr)
 
+            it += n
+            total_steps += n
             avg_time = (
-                avg_time * total_steps + time.time() - t
-            ) / (total_steps + 1)
+                avg_time * (total_steps - n) + time.time() - t
+            ) / total_steps
 
-            if total_steps % flags.print_every == 0:
+            if (total_steps - 1) % flags.print_every < n:
                 scal = {
                     "train_loss": float(loss),
                     "train_mrr": float(train_mrr),
-                    "train_mrr_ema": float(train_shadow_mrr),
+                    "train_mrr_ema": float(train_shadow),
                     "val_loss": float(val_cost),
                     "val_mrr": float(val_mrr),
                     "val_mrr_ema": float(shadow_mrr),
                 }
                 print(
-                    "Iter:", "%04d" % it,
+                    "Iter:", "%04d" % (it - 1),
                     "train_loss=", "{:.5f}".format(scal["train_loss"]),
                     "train_mrr=", "{:.5f}".format(scal["train_mrr"]),
                     "train_mrr_ema=", "{:.5f}".format(scal["train_mrr_ema"]),
@@ -236,17 +257,18 @@ def train(flags: TrainFlags, graph=None) -> dict:
                     "val_mrr_ema=", "{:.5f}".format(scal["val_mrr_ema"]),
                     "time=", "{:.5f}".format(avg_time),
                 )
-                logger.log(total_steps, step_time=avg_time, **scal)
+                logger.log(total_steps - 1, step_time=avg_time, **scal)
 
-            total_steps += 1
             if (flags.checkpoint_dir and flags.checkpoint_every
-                    and total_steps % flags.checkpoint_every == 0):
-                ckpt.save(flags.checkpoint_dir, params, opt_state, total_steps)
+                    and total_steps % flags.checkpoint_every < n):
+                ckpt.save(flags.checkpoint_dir, params, opt_state,
+                          total_steps)
             if total_steps > flags.max_total_steps:
                 stop = True
                 break
         if stop:
             break
+    train_shadow_mrr = train_shadow  # for the return dict
 
     if flags.profile_dir:
         jax.profiler.stop_trace()
