@@ -33,13 +33,18 @@ def make_synthetic_graph(
     rng = np.random.default_rng(seed)
     classes = rng.integers(0, num_classes, size=num_nodes)
 
-    edges = []
-    for i in range(num_nodes):
-        for j in range(i + 1, num_nodes):
-            p = intra_p if classes[i] == classes[j] else inter_p
-            if rng.random() < p:
-                edges.append((i, j))
-    edge_arr = np.asarray(edges, dtype=np.int32).reshape(-1, 2)
+    if num_nodes <= 2000:
+        edges = []
+        for i in range(num_nodes):
+            for j in range(i + 1, num_nodes):
+                p = intra_p if classes[i] == classes[j] else inter_p
+                if rng.random() < p:
+                    edges.append((i, j))
+        edge_arr = np.asarray(edges, dtype=np.int32).reshape(-1, 2)
+    else:
+        edge_arr = _sample_partition_edges(
+            rng, classes, num_nodes, num_classes, intra_p, inter_p
+        )
 
     feats = rng.normal(0, 1.0, size=(num_nodes, feat_dim)).astype(np.float32)
     feats[np.arange(num_nodes), classes % feat_dim] += 3.0
@@ -90,6 +95,37 @@ def make_synthetic_graph(
         neighbors=neighbors,
         walks=None,
     )
+
+
+def _sample_partition_edges(rng, classes, num_nodes, num_classes,
+                            intra_p, inter_p):
+    """Vectorized planted-partition edge sampling for large graphs: draw
+    the expected number of intra-/inter-class pairs directly instead of
+    the O(N^2) Bernoulli sweep."""
+    chunks = []
+    for c in range(num_classes):
+        members = np.flatnonzero(classes == c)
+        m = len(members)
+        n_intra = rng.poisson(intra_p * m * (m - 1) / 2)
+        if n_intra and m > 1:
+            a = members[rng.integers(0, m, n_intra)]
+            b = members[rng.integers(0, m, n_intra)]
+            chunks.append(np.stack([a, b], axis=1))
+    n_inter = rng.poisson(inter_p * num_nodes * (num_nodes - 1) / 2)
+    if n_inter:
+        a = rng.integers(0, num_nodes, n_inter)
+        b = rng.integers(0, num_nodes, n_inter)
+        chunks.append(np.stack([a, b], axis=1))
+    if not chunks:
+        return np.zeros((0, 2), dtype=np.int32)
+    pairs = np.concatenate(chunks, axis=0)
+    pairs = pairs[pairs[:, 0] != pairs[:, 1]]
+    lo = np.minimum(pairs[:, 0], pairs[:, 1]).astype(np.int64)
+    hi = np.maximum(pairs[:, 0], pairs[:, 1]).astype(np.int64)
+    keys = np.unique(lo * num_nodes + hi)
+    return np.stack(
+        [keys // num_nodes, keys % num_nodes], axis=1
+    ).astype(np.int32)
 
 
 def write_dataset(graph: GraphData, prefix: str) -> None:

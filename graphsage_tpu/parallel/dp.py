@@ -169,6 +169,59 @@ def make_unsupervised_chunk_runner(config: UnsupervisedConfig, optimizer,
     return runner
 
 
+def make_node2vec_chunk_runner(config: Node2VecConfig, optimizer,
+                               batch_size: int, n_steps: int,
+                               num_nodes: int, context_update_mask=None):
+    """n_steps node2vec steps per dispatch (see
+    make_supervised_chunk_runner). ``num_nodes`` is the dummy id used to
+    pad the pair stream; the trainable tables have num_nodes+1 rows so
+    dummy lookups are in-bounds and masked out of the loss.
+
+    runner(params, opt_state, shadow_mrr, rng, pairs_perm, uni_logits,
+           start_step) -> (params, opt_state, shadow_mrr, loss, mrr)
+    """
+
+    def one_step(carry, step_idx, pairs_perm, uni_logits, rng):
+        params, opt_state, shadow = carry
+        pair = jax.lax.dynamic_slice(
+            pairs_perm, (step_idx * batch_size, 0), (batch_size, 2)
+        )
+        b1, b2 = pair[:, 0], pair[:, 1]
+        mask = (b1 != num_nodes).astype(jnp.float32)
+        step_rng = jax.random.fold_in(rng, step_idx)
+        (loss, aux), grads = jax.value_and_grad(
+            node2vec_loss, has_aux=True
+        )(params, b1, b2, mask, uni_logits, step_rng, config)
+        if context_update_mask is not None:
+            grads = dict(grads)
+            grads["context"] = (
+                grads["context"] * context_update_mask[:, None]
+            )
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        mrr = aux["mrr"]
+        shadow = jnp.where(
+            shadow < 0, mrr, shadow - (1 - 0.99) * (shadow - mrr)
+        )
+        return (params, opt_state, shadow), (loss, mrr)
+
+    def runner(params, opt_state, shadow_mrr, rng, pairs_perm, uni_logits,
+               start_step):
+        def body(j, state):
+            carry, _ = state
+            return one_step(carry, start_step + j, pairs_perm, uni_logits,
+                            rng)
+
+        init = ((params, opt_state, shadow_mrr),
+                (jnp.zeros(()), jnp.zeros(())))
+        (params, opt_state, shadow_mrr), (loss, mrr) = jax.lax.fori_loop(
+            0, n_steps, body, init
+        )
+        return params, opt_state, shadow_mrr, loss, mrr
+
+    return runner
+
+
 def make_node2vec_train_step(config: Node2VecConfig, optimizer,
                              context_update_mask=None):
     """step(params, opt_state, rng, b1, b2, mask, unigram_logits)."""

@@ -28,7 +28,6 @@ from graphsage_tpu.models.unsupervised import (
 )
 from graphsage_tpu.models.supervised import make_optimizer
 from graphsage_tpu.nn.negative import unigram_cdf, unigram_logits
-from graphsage_tpu.parallel.dp import make_node2vec_train_step
 from graphsage_tpu.train import checkpoint as ckpt
 from graphsage_tpu.train.config import TrainFlags, build_layer_infos
 
@@ -317,46 +316,75 @@ def _train_n2v(flags: TrainFlags, graph, deg, batcher: EdgeBatcher,
     deg_padded = np.concatenate([deg, [0]]).astype(np.float32)
     uni_logits = jnp.asarray(np.asarray(unigram_logits(deg_padded)))
 
-    step_fn = jax.jit(
-        make_node2vec_train_step(config, optimizer), donate_argnums=(0, 1)
-    )
+    from graphsage_tpu.parallel.dp import make_node2vec_chunk_runner
 
-    total_steps = 0
-    avg_time = 0.0
-    train_shadow_mrr = None
-    stop = False
-    for epoch in range(flags.epochs):
-        print("Epoch: %04d" % (epoch + 1))
-        for it, batch in enumerate(batcher.epoch()):
-            t = time.time()
-            key, sub = jax.random.split(key)
-            params, opt_state, loss, aux = step_fn(
-                params, opt_state, sub,
-                jnp.asarray(batch.batch1), jnp.asarray(batch.batch2),
-                jnp.asarray(batch.mask), uni_logits,
-            )
-            train_mrr = aux["mrr"]
-            if train_shadow_mrr is None:
-                train_shadow_mrr = train_mrr
-            else:
-                train_shadow_mrr -= (1 - 0.99) * (train_shadow_mrr - train_mrr)
-            avg_time = (
-                avg_time * total_steps + time.time() - t
-            ) / (total_steps + 1)
-            if total_steps % flags.print_every == 0:
-                print(
-                    "Iter:", "%04d" % it,
-                    "train_loss=", "{:.5f}".format(float(loss)),
-                    "train_mrr=", "{:.5f}".format(float(train_mrr)),
-                    "train_mrr_ema=", "{:.5f}".format(float(train_shadow_mrr)),
-                    "time=", "{:.5f}".format(avg_time),
+    def run_n2v_epochs(params, opt_state, n_epochs, pairs, update_mask,
+                      max_steps, verbose):
+        """Device-resident chunked epochs over a pair stream (shared by
+        the main loop and the inductive retrain)."""
+        nonlocal key
+        B = flags.batch_size
+        dummy = graph.num_nodes
+        steps_per_epoch = max(1, -(-len(pairs) // B))
+        padded = np.full((steps_per_epoch * B, 2), dummy, dtype=np.int32)
+        padded[: len(pairs)] = pairs
+        padded_dev = jnp.asarray(padded)
+
+        runners = {}
+
+        def get_runner(n):
+            if n not in runners:
+                runners[n] = jax.jit(
+                    make_node2vec_chunk_runner(
+                        config, optimizer, B, n, dummy,
+                        context_update_mask=update_mask,
+                    ),
+                    donate_argnums=(0, 1),
                 )
-            total_steps += 1
-            if total_steps > flags.max_total_steps:
-                stop = True
+            return runners[n]
+
+        shadow = jnp.asarray(-1.0)
+        total = 0
+        avg_time = 0.0
+        chunk = max(1, flags.print_every)
+        stop = False
+        for epoch in range(n_epochs):
+            if verbose:
+                print("Epoch: %04d" % (epoch + 1))
+            key, ek, lk = jax.random.split(key, 3)
+            perm = jax.random.permutation(ek, padded_dev, axis=0)
+            it = 0
+            while it < steps_per_epoch:
+                n = min(chunk, steps_per_epoch - it,
+                        max(1, max_steps + 1 - total))
+                t = time.time()
+                params, opt_state, shadow, loss, mrr = get_runner(n)(
+                    params, opt_state, shadow, lk, perm, uni_logits, it
+                )
+                it += n
+                total += n
+                avg_time = (
+                    avg_time * (total - n) + time.time() - t
+                ) / total
+                if verbose and (total - 1) % flags.print_every < n:
+                    print(
+                        "Iter:", "%04d" % (it - 1),
+                        "train_loss=", "{:.5f}".format(float(loss)),
+                        "train_mrr=", "{:.5f}".format(float(mrr)),
+                        "train_mrr_ema=", "{:.5f}".format(float(shadow)),
+                        "time=", "{:.5f}".format(avg_time),
+                    )
+                if total > max_steps:
+                    stop = True
+                    break
+            if stop:
                 break
-        if stop:
-            break
+        return params, opt_state, total
+
+    params, opt_state, total_steps = run_n2v_epochs(
+        params, opt_state, flags.epochs, batcher.train_pairs,
+        update_mask=None, max_steps=flags.max_total_steps, verbose=True,
+    )
 
     print("Optimization Finished!")
     if flags.save_embeddings:
@@ -375,22 +403,13 @@ def _train_n2v(flags: TrainFlags, graph, deg, batcher: EdgeBatcher,
         update_mask = np.zeros((graph.num_nodes + 1,), dtype=np.float32)
         evalnodes = np.flatnonzero(graph.is_val | graph.is_test)
         update_mask[evalnodes] = 1.0
-        retrain_step = jax.jit(
-            make_node2vec_train_step(
-                config, optimizer,
-                context_update_mask=jnp.asarray(update_mask),
-            ),
-            donate_argnums=(0, 1),
-        )
         opt_state = optimizer.init(params)
-        for epoch in range(flags.n2v_test_epochs):
-            for batch in retrain_batcher.epoch():
-                key, sub = jax.random.split(key)
-                params, opt_state, loss, aux = retrain_step(
-                    params, opt_state, sub,
-                    jnp.asarray(batch.batch1), jnp.asarray(batch.batch2),
-                    jnp.asarray(batch.mask), uni_logits,
-                )
+        params, opt_state, _ = run_n2v_epochs(
+            params, opt_state, flags.n2v_test_epochs,
+            retrain_batcher.train_pairs,
+            update_mask=jnp.asarray(update_mask),
+            max_steps=flags.max_total_steps, verbose=False,
+        )
         _save_n2v_embeddings(params, batcher, graph, log_dir, mod="-test")
 
     return {"params": params, "steps": total_steps, "log_dir": log_dir}

@@ -167,3 +167,25 @@ def test_walks_file_roundtrip(tmp_path, toy_graph):
     write_walks(path, pairs, toy_graph.node_ids)
     back = read_walks(path, toy_graph.id2idx)
     np.testing.assert_array_equal(back, pairs)
+
+
+def test_fast_synthetic_partition_structure():
+    """Vectorized large-graph generator: community structure present,
+    valid arrays."""
+    from graphsage_tpu.data.graph import validate_graph
+    from graphsage_tpu.data.synthetic import make_synthetic_graph
+
+    g = make_synthetic_graph(
+        num_nodes=5000, num_classes=4, feat_dim=8,
+        intra_p=2e-3, inter_p=5e-5, seed=9,
+    )
+    validate_graph(g)
+    assert len(g.edges) > 1000
+    # undirected each-once, no self loops
+    assert (g.edges[:, 0] < g.edges[:, 1]).all()
+    # intra-class edges dominate given the planted partition
+    import numpy as np
+
+    classes = np.argmax(g.labels, axis=1)
+    same = (classes[g.edges[:, 0]] == classes[g.edges[:, 1]]).mean()
+    assert same > 0.7
