@@ -59,6 +59,9 @@ def _add_common(p: argparse.ArgumentParser, defaults: TrainFlags):
                    default=d.feature_dtype,
                    help="on-device feature table dtype (bfloat16 halves "
                         "gather bandwidth)")
+    p.add_argument("--graph_shards", type=int, default=d.graph_shards,
+                   help="row-shard feature/adjacency tables across N "
+                        "devices with all-to-all halo exchange (supervised)")
     p.add_argument("--seed", type=int, default=d.seed)
     p.add_argument("--checkpoint_dir", default=d.checkpoint_dir)
     p.add_argument("--checkpoint_every", type=int, default=d.checkpoint_every)

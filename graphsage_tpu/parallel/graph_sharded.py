@@ -286,6 +286,56 @@ def make_sharded_supervised_step(
     return jax.jit(mapped, donate_argnums=(0, 1))
 
 
+def make_sharded_supervised_eval(
+    sup_config,
+    mesh,
+    axis_name: str = "graph",
+    capacity_factor: float = 4.0,
+    params_like=None,
+):
+    """Sharded-table eval: (loss, preds) without an optimizer update —
+    the counterpart of train/supervised.make_eval_step for --graph_shards
+    runs where the full-graph tables are also row-sharded."""
+    from graphsage_tpu.models.graphsage import l2_normalize
+    from graphsage_tpu.models.supervised import (
+        _sigmoid_xent,
+        _softmax_xent,
+        supervised_predict,
+    )
+    from graphsage_tpu.nn.dense import apply_dense
+
+    config = sup_config.sage
+
+    def eval_fn(params, feat_local, adj_local, ids, labels, mask, rng):
+        emb = sharded_sage_embed(
+            params, feat_local, adj_local, ids, rng, config, axis_name,
+            capacity_factor, deterministic=True,
+        )
+        emb = l2_normalize(emb, axis=1)
+        logits = apply_dense(params["head"], emb, act=None)
+        if sup_config.sigmoid_loss:
+            per_node = _sigmoid_xent(logits, labels) / sup_config.num_classes
+        else:
+            per_node = _softmax_xent(logits, labels)
+        denom = jnp.maximum(jax.lax.psum(jnp.sum(mask), axis_name), 1.0)
+        loss = jax.lax.psum(jnp.sum(per_node * mask), axis_name) / denom
+        return loss, supervised_predict(logits, sup_config)
+
+    rep = P()
+    sh = P(axis_name)
+    p_spec = (
+        _embeds_spec_tree(params_like, axis_name)
+        if config.identity_dim > 0 and params_like is not None else rep
+    )
+    return jax.jit(shard_map(
+        eval_fn,
+        mesh=mesh,
+        in_specs=(p_spec, sh, sh, sh, sh, sh, rep),
+        out_specs=(rep, sh),
+        check_rep=False,
+    ))
+
+
 def make_sharded_unsupervised_step(
     unsup_config,
     optimizer,

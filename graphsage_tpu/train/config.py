@@ -65,6 +65,7 @@ class TrainFlags:
     # TPU-native additions (no reference equivalent)
     fused_gather: bool = True   # Pallas gather+mean for the innermost hop
     feature_dtype: str = "float32"  # "bfloat16" halves gather bandwidth
+    graph_shards: int = 1       # row-shard tables over N devices (P2)
     seed: int = 123
     n_model_shards: int = 1     # feature-dim tensor parallelism
     checkpoint_dir: str = ""    # orbax checkpoint root ("" = disabled)

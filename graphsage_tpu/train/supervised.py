@@ -102,6 +102,9 @@ def train(flags: TrainFlags, graph=None) -> dict:
         graph = load_data(flags.train_prefix)
         print("Done loading training data..")
 
+    if flags.graph_shards > 1:
+        return _train_sharded(flags, graph)
+
     config = build_supervised_config(flags, graph)
     sigmoid = flags.sigmoid
 
@@ -300,6 +303,155 @@ def train(flags: TrainFlags, graph=None) -> dict:
     if flags.checkpoint_dir:
         ckpt.save(flags.checkpoint_dir, params, opt_state, total_steps)
 
+    return {
+        "params": params,
+        "val_loss": val_cost,
+        "val_f1_mic": val_f1_mic,
+        "val_f1_mac": val_f1_mac,
+        "test_f1_mic": test_f1_mic,
+        "test_f1_mac": test_f1_mac,
+        "steps": total_steps,
+    }
+
+
+def _train_sharded(flags: TrainFlags, graph) -> dict:
+    """--graph_shards N: row-shard feature/adjacency (and identity) tables
+    across an N-device "graph" mesh with all-to-all halo exchange
+    (parallel/graph_sharded.py). Host-driven per-batch loop; the batch is
+    split along the same axis (data parallel)."""
+    from jax.sharding import Mesh
+
+    from graphsage_tpu.parallel.graph_sharded import (
+        make_sharded_supervised_eval,
+        make_sharded_supervised_step,
+        shard_rows,
+    )
+
+    D = flags.graph_shards
+    assert flags.batch_size % D == 0, "batch_size must divide graph_shards"
+    devices = jax.devices()
+    if len(devices) < D:
+        devices = jax.devices("cpu")
+    assert len(devices) >= D, f"need {D} devices for --graph_shards {D}"
+    mesh = Mesh(np.asarray(devices[:D]), ("graph",))
+
+    config = build_supervised_config(flags, graph)
+    sigmoid = flags.sigmoid
+    train_adj_np, deg, full_adj_np = build_both_adjs(
+        graph, flags.max_degree, seed=flags.seed
+    )
+    batcher = NodeBatcher(graph, deg, flags.batch_size, seed=flags.seed)
+
+    feats_np = graph.padded_features()
+    if feats_np is not None:
+        feats_np = feats_np.astype(flags.feature_dtype)
+        feat_sh = jnp.asarray(shard_rows(feats_np, D)[0])
+    else:
+        feat_sh = None
+    train_adj_sh = jnp.asarray(shard_rows(train_adj_np, D)[0])
+    full_adj_sh = jnp.asarray(shard_rows(full_adj_np, D)[0])
+
+    key = jax.random.key(flags.seed)
+    key, init_key = jax.random.split(key)
+    params = init_supervised_params(init_key, config)
+    if config.sage.identity_dim > 0:
+        params["embeds"] = jnp.asarray(
+            shard_rows(np.asarray(params["embeds"]), D)[0]
+        )
+    optimizer = make_optimizer(flags.learning_rate)
+    opt_state = optimizer.init(params)
+
+    step = make_sharded_supervised_step(
+        config, optimizer, mesh,
+        params_like=params, opt_state_like=opt_state,
+    )
+    eval_step = make_sharded_supervised_eval(
+        config, mesh, params_like=params
+    )
+    eval_key = jax.random.key(flags.seed + 1)
+
+    def run_eval(batches):
+        t0 = time.time()
+        losses, preds, labels, ks = [], [], [], []
+        for b in batches:
+            loss, p = eval_step(
+                params, feat_sh, full_adj_sh, jnp.asarray(b.ids),
+                jnp.asarray(b.labels), jnp.asarray(b.mask), eval_key,
+            )
+            losses.append(loss)
+            preds.append(p)
+            ks.append(int(b.mask.sum()))
+            labels.append(b.labels[: ks[-1]])
+        losses = np.asarray(jnp.stack(losses))
+        preds_np = np.asarray(jnp.stack(preds))
+        preds = np.vstack([p[:k] for p, k in zip(preds_np, ks)])
+        return (float(np.mean(losses)), preds, np.vstack(labels),
+                time.time() - t0)
+
+    log_dir = flags.log_dir("supervised")
+    total_steps = 0
+    val_cost = val_f1_mic = val_f1_mac = 0.0
+    stop = False
+    for epoch in range(flags.epochs):
+        print("Epoch: %04d" % (epoch + 1))
+        for it, batch in enumerate(batcher.epoch()):
+            key, sub = jax.random.split(key)
+            params, opt_state, loss, preds = step(
+                params, opt_state, sub, feat_sh, train_adj_sh,
+                jnp.asarray(batch.ids), jnp.asarray(batch.labels),
+                jnp.asarray(batch.mask),
+            )
+            if it % flags.validate_iter == 0:
+                vb = batcher.sample_val_batch(
+                    max(flags.validate_batch_size, 1)
+                    if flags.validate_batch_size != -1
+                    else flags.batch_size
+                )
+                vloss, vpred = eval_step(
+                    params, feat_sh, full_adj_sh, jnp.asarray(vb.ids),
+                    jnp.asarray(vb.labels), jnp.asarray(vb.mask), eval_key,
+                )
+                val_cost = float(vloss)
+                k = int(vb.mask.sum())
+                val_f1_mic, val_f1_mac = calc_f1(
+                    vb.labels[:k], np.asarray(vpred)[:k], sigmoid
+                )
+            if total_steps % flags.print_every == 0:
+                k = int(batch.mask.sum())
+                f1_mic, f1_mac = calc_f1(
+                    batch.labels[:k], np.asarray(preds)[:k], sigmoid
+                )
+                print(
+                    "Iter:", "%04d" % it,
+                    "train_loss=", "{:.5f}".format(float(loss)),
+                    "train_f1_mic=", "{:.5f}".format(f1_mic),
+                    "val_loss=", "{:.5f}".format(val_cost),
+                    "val_f1_mic=", "{:.5f}".format(val_f1_mic),
+                )
+            total_steps += 1
+            if total_steps > flags.max_total_steps:
+                stop = True
+                break
+        if stop:
+            break
+
+    print("Optimization Finished!")
+    val_cost, vp, vl, duration = run_eval(batcher.val_batches())
+    val_f1_mic, val_f1_mac = calc_f1(vl, vp, sigmoid)
+    with open(log_dir + "/val_stats.txt", "w") as fp:
+        fp.write(
+            "loss={:.5f} f1_micro={:.5f} f1_macro={:.5f} time={:.5f}".format(
+                val_cost, val_f1_mic, val_f1_mac, duration
+            )
+        )
+    test_cost, tp, tl, _ = run_eval(batcher.test_batches())
+    test_f1_mic, test_f1_mac = calc_f1(tl, tp, sigmoid)
+    with open(log_dir + "/test_stats.txt", "w") as fp:
+        fp.write(
+            "loss={:.5f} f1_micro={:.5f} f1_macro={:.5f}".format(
+                test_cost, test_f1_mic, test_f1_mac
+            )
+        )
     return {
         "params": params,
         "val_loss": val_cost,

@@ -190,6 +190,29 @@ def test_sharded_identity_embeds_match_single_device(mesh, toy_graph):
     )
 
 
+def test_graph_shards_trainer_end_to_end(tmp_path, toy_graph):
+    """--graph_shards path: the full supervised trainer over the 8-device
+    CPU mesh trains and writes the stats contract."""
+    import os
+
+    from graphsage_tpu.train.config import TrainFlags
+    from graphsage_tpu.train.supervised import train
+
+    flags = TrainFlags(
+        train_prefix=str(tmp_path / "synth"),
+        epochs=2, batch_size=16, samples_1=4, samples_2=3,
+        dim_1=8, dim_2=8, max_degree=8, validate_iter=4,
+        validate_batch_size=8, print_every=1000,
+        base_log_dir=str(tmp_path), graph_shards=D, seed=123,
+    )
+    result = train(flags, graph=toy_graph)
+    assert np.isfinite(result["val_loss"])
+    assert result["val_f1_mic"] > 0.4
+    log_dir = flags.log_dir("supervised")
+    assert os.path.exists(os.path.join(log_dir, "val_stats.txt"))
+    assert os.path.exists(os.path.join(log_dir, "test_stats.txt"))
+
+
 def test_sharded_unsupervised_step_runs(mesh, toy_graph):
     from graphsage_tpu.data.adjacency import build_both_adjs
     from graphsage_tpu.models.graphsage import LayerInfo, SAGEConfig
