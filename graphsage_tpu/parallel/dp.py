@@ -48,7 +48,7 @@ def make_supervised_train_step(config: SupervisedConfig, optimizer):
 
 
 def make_supervised_chunk_runner(config: SupervisedConfig, optimizer,
-                                 batch_size: int, n_steps: int):
+                                 batch_size: int):
     """Run ``n_steps`` training steps in ONE dispatch via lax.fori_loop.
 
     The reference crosses the host<->device boundary every minibatch
@@ -60,8 +60,12 @@ def make_supervised_chunk_runner(config: SupervisedConfig, optimizer,
     remoted TPU.
 
     runner(params, opt_state, rng, features, adj, ids_perm, labels_table,
-           start_step) -> (params, opt_state, last_loss, last_logits,
-           last_ids)
+           start_step, n_steps) -> (params, opt_state, last_loss,
+           last_logits, last_ids)
+
+    ``n_steps`` is a TRACED fori_loop bound (dynamic trip count), so one
+    compiled executable serves every chunk size — a static bound would
+    recompile (~60s on remoted TPUs) for each distinct epoch tail.
     """
     num_nodes = config.sage.num_nodes
 
@@ -83,7 +87,7 @@ def make_supervised_chunk_runner(config: SupervisedConfig, optimizer,
         return (params, opt_state), (loss, logits, ids)
 
     def runner(params, opt_state, rng, features, adj, ids_perm,
-               labels_table, start_step):
+               labels_table, start_step, n_steps):
         def body(j, state):
             carry, _ = state
             return one_step(carry, start_step + j, features, adj, ids_perm,
@@ -120,15 +124,14 @@ def make_unsupervised_train_step(config: UnsupervisedConfig, optimizer):
 
 
 def make_unsupervised_chunk_runner(config: UnsupervisedConfig, optimizer,
-                                   batch_size: int, n_steps: int,
-                                   num_nodes: int):
+                                   batch_size: int, num_nodes: int):
     """n_steps unsupervised steps per dispatch (see
-    make_supervised_chunk_runner). The train-MRR EMA ("shadow",
-    reference unsupervised_train.py:277-279) is carried through the loop
-    on device.
+    make_supervised_chunk_runner; n_steps is a traced bound). The
+    train-MRR EMA ("shadow", reference unsupervised_train.py:277-279) is
+    carried through the loop on device.
 
     runner(params, opt_state, shadow_mrr, rng, features, adj, pairs_perm
-           [P,2], neg_cdf, start_step)
+           [P,2], neg_cdf, start_step, n_steps)
     -> (params, opt_state, shadow_mrr, last_loss, last_mrr)
     """
 
@@ -153,7 +156,7 @@ def make_unsupervised_chunk_runner(config: UnsupervisedConfig, optimizer,
         return (params, opt_state, shadow), (loss, mrr)
 
     def runner(params, opt_state, shadow_mrr, rng, features, adj,
-               pairs_perm, neg_cdf, start_step):
+               pairs_perm, neg_cdf, start_step, n_steps):
         def body(j, state):
             carry, _ = state
             return one_step(carry, start_step + j, features, adj,
@@ -170,15 +173,17 @@ def make_unsupervised_chunk_runner(config: UnsupervisedConfig, optimizer,
 
 
 def make_node2vec_chunk_runner(config: Node2VecConfig, optimizer,
-                               batch_size: int, n_steps: int,
-                               num_nodes: int, context_update_mask=None):
+                               batch_size: int, num_nodes: int,
+                               context_update_mask=None):
     """n_steps node2vec steps per dispatch (see
-    make_supervised_chunk_runner). ``num_nodes`` is the dummy id used to
-    pad the pair stream; the trainable tables have num_nodes+1 rows so
-    dummy lookups are in-bounds and masked out of the loss.
+    make_supervised_chunk_runner; n_steps is a traced bound).
+    ``num_nodes`` is the dummy id used to pad the pair stream; the
+    trainable tables have num_nodes+1 rows so dummy lookups are
+    in-bounds and masked out of the loss.
 
     runner(params, opt_state, shadow_mrr, rng, pairs_perm, uni_logits,
-           start_step) -> (params, opt_state, shadow_mrr, loss, mrr)
+           start_step, n_steps) -> (params, opt_state, shadow_mrr, loss,
+           mrr)
     """
 
     def one_step(carry, step_idx, pairs_perm, uni_logits, rng):
@@ -206,7 +211,7 @@ def make_node2vec_chunk_runner(config: Node2VecConfig, optimizer,
         return (params, opt_state, shadow), (loss, mrr)
 
     def runner(params, opt_state, shadow_mrr, rng, pairs_perm, uni_logits,
-               start_step):
+               start_step, n_steps):
         def body(j, state):
             carry, _ = state
             return one_step(carry, start_step + j, pairs_perm, uni_logits,

@@ -151,16 +151,11 @@ def train(flags: TrainFlags, graph=None) -> dict:
     labels_table[: graph.num_nodes] = graph.labels
     labels_table_dev = jnp.asarray(labels_table)
 
-    _runners = {}
-
-    def get_runner(n_steps: int):
-        if n_steps not in _runners:
-            _runners[n_steps] = jax.jit(
-                make_supervised_chunk_runner(config, optimizer, B, n_steps),
-                donate_argnums=(0, 1),
-                static_argnames=(),
-            )
-        return _runners[n_steps]
+    # one executable for every chunk size: n_steps is a traced loop bound
+    run_chunk = jax.jit(
+        make_supervised_chunk_runner(config, optimizer, B),
+        donate_argnums=(0, 1),
+    )
 
     eval_step = make_eval_step(config)
     eval_key = jax.random.key(flags.seed + 1)
@@ -193,9 +188,9 @@ def train(flags: TrainFlags, graph=None) -> dict:
             n = min(chunk, steps_per_epoch - it,
                     max(1, flags.max_total_steps + 1 - total_steps))
             t = time.time()
-            params, opt_state, loss, logits, last_ids = get_runner(n)(
+            params, opt_state, loss, logits, last_ids = run_chunk(
                 params, opt_state, loop_key, features, train_adj,
-                ids_perm, labels_table_dev, it,
+                ids_perm, labels_table_dev, it, n,
             )
 
             # validate when [it, it+n) crosses a multiple of validate_iter

@@ -165,17 +165,10 @@ def train(flags: TrainFlags, graph=None) -> dict:
     pairs_padded[: len(train_pairs)] = train_pairs
     pairs_padded_dev = jnp.asarray(pairs_padded)
 
-    _runners = {}
-
-    def get_runner(n_steps: int):
-        if n_steps not in _runners:
-            _runners[n_steps] = jax.jit(
-                make_unsupervised_chunk_runner(
-                    config, optimizer, B, n_steps, dummy
-                ),
-                donate_argnums=(0, 1),
-            )
-        return _runners[n_steps]
+    run_chunk = jax.jit(
+        make_unsupervised_chunk_runner(config, optimizer, B, dummy),
+        donate_argnums=(0, 1),
+    )
 
     eval_step = make_unsup_eval_step(config)
     embed_step = make_embed_step(config)
@@ -213,9 +206,9 @@ def train(flags: TrainFlags, graph=None) -> dict:
             n = min(chunk, steps_per_epoch - it,
                     max(1, flags.max_total_steps + 1 - total_steps))
             t = time.time()
-            params, opt_state, train_shadow, loss, train_mrr = get_runner(n)(
+            params, opt_state, train_shadow, loss, train_mrr = run_chunk(
                 params, opt_state, train_shadow, loop_key, features,
-                train_adj, pairs_perm, neg_cdf, it,
+                train_adj, pairs_perm, neg_cdf, it, n,
             )
 
             # validate when [it, it+n) crosses a multiple of validate_iter
@@ -330,18 +323,13 @@ def _train_n2v(flags: TrainFlags, graph, deg, batcher: EdgeBatcher,
         padded[: len(pairs)] = pairs
         padded_dev = jnp.asarray(padded)
 
-        runners = {}
-
-        def get_runner(n):
-            if n not in runners:
-                runners[n] = jax.jit(
-                    make_node2vec_chunk_runner(
-                        config, optimizer, B, n, dummy,
-                        context_update_mask=update_mask,
-                    ),
-                    donate_argnums=(0, 1),
-                )
-            return runners[n]
+        run_chunk = jax.jit(
+            make_node2vec_chunk_runner(
+                config, optimizer, B, dummy,
+                context_update_mask=update_mask,
+            ),
+            donate_argnums=(0, 1),
+        )
 
         shadow = jnp.asarray(-1.0)
         total = 0
@@ -358,8 +346,8 @@ def _train_n2v(flags: TrainFlags, graph, deg, batcher: EdgeBatcher,
                 n = min(chunk, steps_per_epoch - it,
                         max(1, max_steps + 1 - total))
                 t = time.time()
-                params, opt_state, shadow, loss, mrr = get_runner(n)(
-                    params, opt_state, shadow, lk, perm, uni_logits, it
+                params, opt_state, shadow, loss, mrr = run_chunk(
+                    params, opt_state, shadow, lk, perm, uni_logits, it, n
                 )
                 it += n
                 total += n

@@ -47,17 +47,16 @@ def test_supervised_chunk_equals_chained_singles(toy_graph):
     )
     rng = jax.random.key(5)
 
-    run3 = jax.jit(make_supervised_chunk_runner(sup, optimizer, B, 3))
-    run1 = jax.jit(make_supervised_chunk_runner(sup, optimizer, B, 1))
+    run = jax.jit(make_supervised_chunk_runner(sup, optimizer, B))
 
-    p3, o3, loss3, logits3, ids3 = run3(
+    p3, o3, loss3, logits3, ids3 = run(
         params, optimizer.init(params), rng, feats, adj, ids_perm,
-        labels_table, 0,
+        labels_table, 0, 3,
     )
     p1, o1 = params, optimizer.init(params)
     for s in range(3):
-        p1, o1, loss1, logits1, ids1 = run1(
-            p1, o1, rng, feats, adj, ids_perm, labels_table, s
+        p1, o1, loss1, logits1, ids1 = run(
+            p1, o1, rng, feats, adj, ids_perm, labels_table, s, 1
         )
     np.testing.assert_allclose(float(loss3), float(loss1), rtol=1e-5)
     np.testing.assert_array_equal(np.asarray(ids3), np.asarray(ids1))
@@ -88,21 +87,18 @@ def test_unsupervised_chunk_ema_and_equivalence(toy_graph):
     pairs = jnp.asarray(g.edges[: 4 * B].astype(np.int32))
     rng = jax.random.key(5)
 
-    run2 = jax.jit(
-        make_unsupervised_chunk_runner(unsup, optimizer, B, 2, g.num_nodes)
-    )
-    run1 = jax.jit(
-        make_unsupervised_chunk_runner(unsup, optimizer, B, 1, g.num_nodes)
+    run = jax.jit(
+        make_unsupervised_chunk_runner(unsup, optimizer, B, g.num_nodes)
     )
     shadow0 = jnp.asarray(-1.0)
-    p2, o2, sh2, loss2, mrr2 = run2(
+    p2, o2, sh2, loss2, mrr2 = run(
         params, optimizer.init(params), shadow0, rng, feats, adj, pairs,
-        neg_cdf, 0,
+        neg_cdf, 0, 2,
     )
     p1, o1, sh1 = params, optimizer.init(params), shadow0
     for s in range(2):
-        p1, o1, sh1, loss1, mrr1 = run1(
-            p1, o1, sh1, rng, feats, adj, pairs, neg_cdf, s
+        p1, o1, sh1, loss1, mrr1 = run(
+            p1, o1, sh1, rng, feats, adj, pairs, neg_cdf, s, 1
         )
     np.testing.assert_allclose(float(loss2), float(loss1), rtol=1e-5)
     np.testing.assert_allclose(float(sh2), float(sh1), rtol=1e-5)
