@@ -123,21 +123,8 @@ def _flags_from_args(args, defaults: TrainFlags) -> TrainFlags:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
-    if args.command in ("supervised", "unsupervised"):
-        # persistent XLA compile cache: repeat runs of the same model shape
-        # skip the (60s+) first compile
-        import os as _os
-
-        import jax
-
-        jax.config.update(
-            "jax_compilation_cache_dir",
-            _os.environ.get(
-                "GRAPHSAGE_COMPILE_CACHE",
-                _os.path.expanduser("~/.cache/graphsage_tpu_jax"),
-            ),
-        )
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # (the persistent XLA compile cache is enabled by graphsage_tpu.train's
+    # package import — see train/__init__.py)
     if args.command == "supervised":
         from graphsage_tpu.train.supervised import train
 

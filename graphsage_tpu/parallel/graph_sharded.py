@@ -336,12 +336,104 @@ def make_sharded_supervised_eval(
     ))
 
 
+def make_sharded_unsup_embed(
+    unsup_config,
+    mesh,
+    axis_name: str = "graph",
+    capacity_factor: float = 4.0,
+    params_like=None,
+):
+    """Sharded-table deterministic forward: l2-normalized embeddings for
+    export (counterpart of train/unsupervised.make_embed_step)."""
+    from graphsage_tpu.models.graphsage import l2_normalize
+
+    config = unsup_config.sage
+
+    def embed_fn(params, feat_local, adj_local, ids, rng):
+        out = sharded_sage_embed(
+            params, feat_local, adj_local, ids, rng, config, axis_name,
+            capacity_factor, deterministic=True,
+        )
+        return l2_normalize(out, 1)
+
+    rep = P()
+    sh = P(axis_name)
+    p_spec = (
+        _embeds_spec_tree(params_like, axis_name)
+        if config.identity_dim > 0 and params_like is not None else rep
+    )
+    return jax.jit(shard_map(
+        embed_fn,
+        mesh=mesh,
+        in_specs=(p_spec, sh, sh, sh, rep),
+        out_specs=sh,
+        check_rep=False,
+    ))
+
+
+def make_sharded_unsupervised_eval(
+    unsup_config,
+    mesh,
+    axis_name: str = "graph",
+    capacity_factor: float = 4.0,
+    params_like=None,
+):
+    """Sharded-table (loss, mrr) eval for validation batches."""
+    from graphsage_tpu.models.graphsage import l2_normalize
+    from graphsage_tpu.nn import prediction
+    from graphsage_tpu.nn.negative import sample_negatives
+
+    config = unsup_config.sage
+
+    def eval_fn(params, feat_local, adj_local, b1, b2, mask, neg_cdf, rng):
+        r_neg, r1, r2, r3 = jax.random.split(
+            jax.random.fold_in(rng, jax.lax.axis_index(axis_name)), 4
+        )
+        neg_ids = sample_negatives(r_neg, neg_cdf,
+                                   unsup_config.neg_sample_size)
+        embed = functools.partial(
+            sharded_sage_embed,
+            params=params, feat_local=feat_local, adj_local=adj_local,
+            config=config, axis_name=axis_name,
+            capacity_factor=capacity_factor, deterministic=True,
+        )
+        out1 = l2_normalize(embed(ids=b1, rng=r1), 1)
+        out2 = l2_normalize(embed(ids=b2, rng=r2), 1)
+        neg = l2_normalize(embed(ids=neg_ids, rng=r3), 1)
+        raw = prediction.edge_pred_loss(
+            out1, out2, neg, loss_fn=unsup_config.loss_fn, mask=mask,
+            neg_sample_weights=unsup_config.neg_sample_weights,
+        )
+        denom = jnp.maximum(jax.lax.psum(jnp.sum(mask), axis_name), 1.0)
+        loss = jax.lax.psum(raw, axis_name) / denom
+        aff = prediction.affinity(out1, out2)
+        neg_aff = prediction.neg_cost(out1, neg)
+        _, mrr = prediction.mrr_and_ranks(aff, neg_aff, mask)
+        return loss, jax.lax.pmean(mrr, axis_name)
+
+    rep = P()
+    sh = P(axis_name)
+    p_spec = (
+        _embeds_spec_tree(params_like, axis_name)
+        if config.identity_dim > 0 and params_like is not None else rep
+    )
+    return jax.jit(shard_map(
+        eval_fn,
+        mesh=mesh,
+        in_specs=(p_spec, sh, sh, sh, sh, sh, rep, rep),
+        out_specs=(rep, rep),
+        check_rep=False,
+    ))
+
+
 def make_sharded_unsupervised_step(
     unsup_config,
     optimizer,
     mesh,
     axis_name: str = "graph",
     capacity_factor: float = 4.0,
+    params_like=None,
+    opt_state_like=None,
 ):
     """Graph-sharded three-tower skip-gram step.
 
@@ -394,7 +486,7 @@ def make_sharded_unsupervised_step(
         )(params, feat_local, adj_local, b1, b2, mask, neg_cdf, rng,
           global_mask_sum)
         loss = jax.lax.psum(loss, axis_name)
-        grads = jax.lax.psum(grads, axis_name)
+        grads = _psum_except_embeds(grads, axis_name)
         mrr = jax.lax.pmean(mrr, axis_name)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
@@ -402,11 +494,17 @@ def make_sharded_unsupervised_step(
 
     rep = P()
     sh = P(axis_name)
+    if config.identity_dim > 0:
+        assert params_like is not None and opt_state_like is not None
+        p_spec = _embeds_spec_tree(params_like, axis_name)
+        o_spec = _embeds_spec_tree(opt_state_like, axis_name)
+    else:
+        p_spec = o_spec = rep
     mapped = shard_map(
         step,
         mesh=mesh,
-        in_specs=(rep, rep, rep, sh, sh, sh, sh, sh, rep),
-        out_specs=(rep, rep, rep, rep, sh),
+        in_specs=(p_spec, o_spec, rep, sh, sh, sh, sh, sh, rep),
+        out_specs=(p_spec, o_spec, rep, rep, sh),
         check_rep=False,
     )
     return jax.jit(mapped, donate_argnums=(0, 1))

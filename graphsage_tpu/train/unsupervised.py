@@ -134,6 +134,9 @@ def train(flags: TrainFlags, graph=None) -> dict:
     if flags.model == "n2v":
         return _train_n2v(flags, graph, deg, batcher, log_dir)
 
+    if flags.graph_shards > 1:
+        return _train_sharded(flags, graph, deg, batcher, log_dir)
+
     config = build_unsupervised_config(flags, graph)
     feats_np = graph.padded_features()
     if feats_np is not None and flags.fused_gather:
@@ -410,3 +413,122 @@ def _save_n2v_embeddings(params, batcher, graph, out_dir, mod=""):
         return target[np.asarray(batch.batch1)]
 
     save_val_embeddings(embed_fn, batcher, graph, out_dir, mod=mod)
+
+
+def _train_sharded(flags: TrainFlags, graph, deg, batcher: EdgeBatcher,
+                   log_dir: str) -> dict:
+    """--graph_shards N unsupervised path: row-sharded tables + all-to-all
+    halo exchange (parallel/graph_sharded.py); host-driven per-batch loop."""
+    from jax.sharding import Mesh
+
+    from graphsage_tpu.data.adjacency import build_both_adjs
+    from graphsage_tpu.parallel.graph_sharded import (
+        make_sharded_unsup_embed,
+        make_sharded_unsupervised_eval,
+        make_sharded_unsupervised_step,
+        shard_rows,
+    )
+
+    D = flags.graph_shards
+    assert flags.batch_size % D == 0, "batch_size must divide graph_shards"
+    devices = jax.devices()
+    if len(devices) < D:
+        devices = jax.devices("cpu")
+    assert len(devices) >= D, f"need {D} devices for --graph_shards {D}"
+    mesh = Mesh(np.asarray(devices[:D]), ("graph",))
+
+    config = build_unsupervised_config(flags, graph)
+    train_adj_np, _, full_adj_np = build_both_adjs(
+        graph, flags.max_degree, seed=flags.seed
+    )
+    feats_np = graph.padded_features()
+    if feats_np is not None:
+        feat_sh = jnp.asarray(
+            shard_rows(feats_np.astype(flags.feature_dtype), D)[0]
+        )
+    else:
+        feat_sh = None
+    train_adj_sh = jnp.asarray(shard_rows(train_adj_np, D)[0])
+    full_adj_sh = jnp.asarray(shard_rows(full_adj_np, D)[0])
+    neg_cdf = jnp.asarray(unigram_cdf(deg))
+
+    key = jax.random.key(flags.seed)
+    key, init_key = jax.random.split(key)
+    params = init_unsupervised_params(init_key, config)
+    if config.sage.identity_dim > 0:
+        params["embeds"] = jnp.asarray(
+            shard_rows(np.asarray(params["embeds"]), D)[0]
+        )
+    optimizer = make_optimizer(flags.learning_rate)
+    opt_state = optimizer.init(params)
+
+    step = make_sharded_unsupervised_step(
+        config, optimizer, mesh, params_like=params,
+        opt_state_like=opt_state,
+    )
+    eval_step = make_sharded_unsupervised_eval(
+        config, mesh, params_like=params
+    )
+    embed_step = make_sharded_unsup_embed(config, mesh, params_like=params)
+    eval_key = jax.random.key(flags.seed + 1)
+
+    total_steps = 0
+    train_shadow_mrr = None
+    val_cost = val_mrr = 0.0
+    stop = False
+    for epoch in range(flags.epochs):
+        print("Epoch: %04d" % (epoch + 1))
+        for it, batch in enumerate(batcher.epoch()):
+            key, sub = jax.random.split(key)
+            params, opt_state, loss, mrr, _ = step(
+                params, opt_state, sub, feat_sh, train_adj_sh,
+                jnp.asarray(batch.batch1), jnp.asarray(batch.batch2),
+                jnp.asarray(batch.mask), neg_cdf,
+            )
+            if train_shadow_mrr is None:
+                train_shadow_mrr = mrr
+            else:
+                train_shadow_mrr -= (1 - 0.99) * (train_shadow_mrr - mrr)
+            if it % flags.validate_iter == 0:
+                vb = batcher.sample_val_batch(flags.validate_batch_size)
+                val_cost, val_mrr = eval_step(
+                    params, feat_sh, full_adj_sh,
+                    jnp.asarray(vb.batch1), jnp.asarray(vb.batch2),
+                    jnp.asarray(vb.mask), neg_cdf, eval_key,
+                )
+            if total_steps % flags.print_every == 0:
+                print(
+                    "Iter:", "%04d" % it,
+                    "train_loss=", "{:.5f}".format(float(loss)),
+                    "train_mrr=", "{:.5f}".format(float(mrr)),
+                    "val_loss=", "{:.5f}".format(float(val_cost)),
+                    "val_mrr=", "{:.5f}".format(float(val_mrr)),
+                )
+            total_steps += 1
+            if total_steps > flags.max_total_steps:
+                stop = True
+                break
+        if stop:
+            break
+
+    print("Optimization Finished!")
+    if flags.save_embeddings:
+        def embed_fn(batch):
+            key_e = jax.random.key(flags.seed + 2)
+            return embed_step(
+                params, feat_sh, full_adj_sh, jnp.asarray(batch.batch1),
+                key_e,
+            )
+
+        save_val_embeddings(embed_fn, batcher, graph, log_dir)
+
+    return {
+        "params": params,
+        "val_loss": float(val_cost),
+        "val_mrr": float(val_mrr),
+        "shadow_mrr": (
+            float(train_shadow_mrr) if train_shadow_mrr is not None else 0.0
+        ),
+        "steps": total_steps,
+        "log_dir": log_dir,
+    }

@@ -213,6 +213,28 @@ def test_graph_shards_trainer_end_to_end(tmp_path, toy_graph):
     assert os.path.exists(os.path.join(log_dir, "test_stats.txt"))
 
 
+def test_graph_shards_unsupervised_trainer(tmp_path, toy_graph):
+    import os
+
+    from graphsage_tpu.train.config import TrainFlags
+    from graphsage_tpu.train.unsupervised import train
+
+    flags = TrainFlags(
+        train_prefix=str(tmp_path / "synth"),
+        epochs=1, batch_size=16, samples_1=4, samples_2=3,
+        dim_1=8, dim_2=8, max_degree=8, validate_iter=4,
+        validate_batch_size=8, print_every=1000, max_total_steps=8,
+        base_log_dir=str(tmp_path), graph_shards=D, seed=123,
+        random_context=False, neg_sample_size=4,
+    )
+    result = train(flags, graph=toy_graph)
+    assert np.isfinite(result["val_loss"])
+    emb = np.load(os.path.join(result["log_dir"], "val.npy"))
+    assert emb.shape[0] == toy_graph.num_nodes
+    norms = np.linalg.norm(emb, axis=1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-4)
+
+
 def test_sharded_unsupervised_step_runs(mesh, toy_graph):
     from graphsage_tpu.data.adjacency import build_both_adjs
     from graphsage_tpu.models.graphsage import LayerInfo, SAGEConfig
