@@ -90,6 +90,17 @@ def test_supervised_gcn_three_layer_dispatch(tmp_path, graph):
     assert len(layers_gcn) == 2
 
 
+@pytest.mark.parametrize(
+    "model", ["graphsage_seq", "graphsage_maxpool", "graphsage_meanpool"]
+)
+def test_model_zoo_trainer_smoke(tmp_path, graph, model):
+    from graphsage_tpu.train.supervised import train
+
+    flags = tiny_flags(tmp_path, model=model, epochs=1, max_total_steps=4)
+    result = train(flags, graph=graph)
+    assert np.isfinite(result["val_loss"])
+
+
 def test_unsupervised_end_to_end(tmp_path, graph):
     from graphsage_tpu.train.unsupervised import train
 
