@@ -90,10 +90,11 @@ class TrainFlags:
 def build_layer_infos(flags: TrainFlags, supervised: bool):
     """The fanout/dim stack for the model-zoo dispatch.
 
-    ``samples_3 > 0`` adds a third layer (dim_2 again) for graphsage_mean
-    only (supervised_train.py:153-161). The gcn variant doubles dims with
-    concat=False so output widths match concat models
-    (supervised_train.py:172-188).
+    Supervised graphsage_mean supports a variable depth
+    (supervised_train.py:153-161): ``samples_3 > 0`` adds a third layer
+    (dim_2 again); ``samples_2 == 0`` drops to a single layer. The gcn
+    variant doubles dims with concat=False so output widths match concat
+    models (supervised_train.py:172-188).
     """
     from graphsage_tpu.models.graphsage import LayerInfo
 
@@ -101,10 +102,10 @@ def build_layer_infos(flags: TrainFlags, supervised: bool):
         raise ValueError(f"unknown model: {flags.model}")
     agg, concat = MODEL_AGGREGATORS[flags.model]
     mult = 1 if concat else 2
-    layers = [
-        LayerInfo(flags.samples_1, mult * flags.dim_1),
-        LayerInfo(flags.samples_2, mult * flags.dim_2),
-    ]
-    if supervised and flags.samples_3 > 0 and flags.model == "graphsage_mean":
+    layers = [LayerInfo(flags.samples_1, mult * flags.dim_1)]
+    variable_depth = supervised and flags.model == "graphsage_mean"
+    if flags.samples_2 > 0 or not variable_depth:
+        layers.append(LayerInfo(flags.samples_2, mult * flags.dim_2))
+    if variable_depth and flags.samples_3 > 0:
         layers.append(LayerInfo(flags.samples_3, mult * flags.dim_2))
     return agg, concat, tuple(layers)

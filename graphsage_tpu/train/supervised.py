@@ -365,6 +365,12 @@ def _train_sharded(flags: TrainFlags, graph) -> dict:
     )
     eval_key = jax.random.key(flags.seed + 1)
 
+    if flags.checkpoint_dir and flags.resume:
+        restored = ckpt.restore(flags.checkpoint_dir, params, opt_state)
+        if restored is not None:
+            params, opt_state, _ = restored
+            print("Resumed from checkpoint")
+
     def run_eval(batches):
         t0 = time.time()
         losses, preds, labels, ks = [], [], [], []
@@ -447,6 +453,8 @@ def _train_sharded(flags: TrainFlags, graph) -> dict:
                 test_cost, test_f1_mic, test_f1_mac
             )
         )
+    if flags.checkpoint_dir:
+        ckpt.save(flags.checkpoint_dir, params, opt_state, total_steps)
     return {
         "params": params,
         "val_loss": val_cost,

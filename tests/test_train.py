@@ -210,3 +210,15 @@ def test_dataclass_flags_roundtrip():
     assert "sup-reddit" in d
     f2 = dataclasses.replace(f, model="gcn")
     assert f2.model == "gcn"
+
+
+def test_one_layer_dispatch(tmp_path, graph):
+    """samples_2=0 -> single-layer graphsage_mean (reference
+    supervised_train.py:157-161)."""
+    from graphsage_tpu.train.supervised import train
+
+    flags = tiny_flags(tmp_path, samples_2=0, epochs=1, max_total_steps=3)
+    _, _, layers = build_layer_infos(flags, supervised=True)
+    assert len(layers) == 1
+    result = train(flags, graph=graph)
+    assert np.isfinite(result["val_loss"])
