@@ -146,6 +146,84 @@ def test_supervised_head_matches_numpy(toy_graph):
     np.testing.assert_allclose(float(loss), want_loss, rtol=1e-4)
 
 
+def numpy_gcn_forward(params, feats, adj, ids, fanouts, dims):
+    """GCN variant: mean over {neighbors + self}, one shared matmul,
+    concat=False (reference aggregators.py:101-116)."""
+    n_layers = len(fanouts)
+    samples = [np.asarray(ids)]
+    for k in range(n_layers):
+        t = n_layers - k - 1
+        samples.append(adj[samples[k]][:, : fanouts[t]].reshape(-1))
+    hidden = [feats[s] for s in samples]
+    support = [1]
+    for k in range(n_layers):
+        support.append(support[-1] * fanouts[n_layers - k - 1])
+    B = len(ids)
+    for layer in range(n_layers):
+        w = np.asarray(params["aggs"][layer]["w"])
+        next_hidden = []
+        for hop in range(n_layers - layer):
+            neigh = hidden[hop + 1].reshape(
+                B * support[hop], fanouts[n_layers - hop - 1], dims[layer]
+            )
+            both = np.concatenate(
+                [neigh, hidden[hop][:, None, :]], axis=1
+            )
+            out = both.mean(axis=1) @ w
+            if layer != n_layers - 1:
+                out = np.maximum(out, 0)
+            next_hidden.append(out)
+        hidden = next_hidden
+    return hidden[0]
+
+
+def test_gcn_matches_numpy_mirror(toy_graph):
+    g = toy_graph
+    adj_np, _, _ = build_both_adjs(g, max_degree=8)
+    feats_np = g.padded_features()
+    fanouts = (4, 3)
+    dims = (feats_np.shape[1], 8, 8)
+    config = SAGEConfig(
+        layers=(LayerInfo(fanouts[0], dims[1]), LayerInfo(fanouts[1], dims[2])),
+        feature_dim=feats_np.shape[1],
+        aggregator="gcn",
+        concat=False,
+        sampler_mode="first_k",
+    )
+    params = init_sage_params(jax.random.key(2), config)
+    ids = np.arange(10, dtype=np.int32)
+    got = sage_embed(
+        params, jnp.asarray(feats_np), jnp.asarray(adj_np),
+        jnp.asarray(ids), jax.random.key(1), config,
+    )
+    want = numpy_gcn_forward(params, feats_np, adj_np, ids, fanouts, dims)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
+
+
+def test_three_layer_matches_numpy_mirror(toy_graph):
+    g = toy_graph
+    adj_np, _, _ = build_both_adjs(g, max_degree=8)
+    feats_np = g.padded_features()
+    fanouts = (4, 3, 2)
+    dims = (feats_np.shape[1], 8, 8, 8)
+    config = SAGEConfig(
+        layers=tuple(
+            LayerInfo(f, d) for f, d in zip(fanouts, dims[1:])
+        ),
+        feature_dim=feats_np.shape[1],
+        aggregator="mean",
+        sampler_mode="first_k",
+    )
+    params = init_sage_params(jax.random.key(3), config)
+    ids = np.arange(6, dtype=np.int32)
+    got = sage_embed(
+        params, jnp.asarray(feats_np), jnp.asarray(adj_np),
+        jnp.asarray(ids), jax.random.key(1), config,
+    )
+    want = numpy_mean_forward(params, feats_np, adj_np, ids, fanouts, dims)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
+
+
 def test_fused_path_matches_numpy_mirror(toy_graph):
     """The fused-gather fast path hits the same golden values."""
     g = toy_graph
