@@ -226,26 +226,48 @@ def sage_embed(
         sample_rng, adj, ids, config.fanouts, mode=config.sampler_mode
     )
 
-    # Fused fast path: the innermost-hop gather is the bandwidth hot spot
-    # ([B*prod(fanouts), F]); for the mean aggregator with no neighbor
-    # dropout its only use is a mean, which the Pallas kernel computes
-    # without materializing the gather (ops/gather.py).
+    # Fused fast paths: the innermost-hop gather is the bandwidth hot
+    # spot ([B*prod(fanouts), F]). With no neighbor dropout:
+    #   * mean agg: its only use is a mean -> Pallas gather+mean
+    #     (ops/gather.py) never materializes the gather;
+    #   * max/mean-pool aggs: its only use is the per-neighbor MLP +
+    #     pooled reduce -> Pallas gather+MLP+pool (ops/pool.py) keeps
+    #     both the gather and the [B*S, H] MLP activations in VMEM.
+    # mean fusion also covers training (features carry no gradient); the
+    # pool kernel contains the differentiable MLP and has no VJP rule, so
+    # it serves inference/eval/embedding-export passes only.
+    fusable = config.aggregator == "mean" or (
+        config.aggregator in ("maxpool", "meanpool") and deterministic
+    )
     use_fused = (
         config.fused_gather
-        and config.aggregator == "mean"
+        and fusable
         and config.identity_dim == 0
         and features is not None
         and (deterministic or config.dropout == 0.0)
     )
     last_mean = None
     if use_fused:
-        from graphsage_tpu.ops.gather import fused_gather_mean
-
         inner_fanout = config.fanouts[0]
         idx2 = samples[-1].reshape(-1, inner_fanout)
-        last_mean = fused_gather_mean(features, idx2)
-        if last_mean.shape[1] != config.feature_dim:
-            last_mean = last_mean[:, : config.feature_dim]
+        if config.aggregator == "mean":
+            from graphsage_tpu.ops.gather import fused_gather_mean
+
+            last_mean = fused_gather_mean(features, idx2)
+            if last_mean.shape[1] != config.feature_dim:
+                last_mean = last_mean[:, : config.feature_dim]
+        else:
+            from graphsage_tpu.ops.pool import fused_gather_mlp_pool
+
+            mlp = params["aggs"][0]["mlp"][0]
+            w, b = mlp["w"], mlp["b"]
+            if w.shape[0] != features.shape[1]:
+                # zero-pad the contracting dim to the lane-padded table
+                w = jnp.pad(w, ((0, features.shape[1] - w.shape[0]), (0, 0)))
+            last_mean = fused_gather_mlp_pool(
+                features, idx2, w, b.reshape(1, -1),
+                reduce="max" if config.aggregator == "maxpool" else "mean",
+            )
         hidden = [
             gather_features(params, features, s, config)
             for s in samples[:-1]
