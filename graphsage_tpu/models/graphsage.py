@@ -236,8 +236,13 @@ def sage_embed(
     # mean fusion also covers training (features carry no gradient); the
     # pool kernel contains the differentiable MLP and has no VJP rule, so
     # it serves inference/eval/embedding-export passes only.
+    # pool fusion's win is HBM footprint (no [B*S, F] / [B*S, H]
+    # intermediates), roughly speed-parity with XLA on v5e; the kernel
+    # handles exactly one MLP layer, so guard the depth explicitly.
     fusable = config.aggregator == "mean" or (
-        config.aggregator in ("maxpool", "meanpool") and deterministic
+        config.aggregator in ("maxpool", "meanpool")
+        and deterministic
+        and len(params["aggs"][0].get("mlp", ())) == 1
     )
     use_fused = (
         config.fused_gather
