@@ -53,3 +53,15 @@ def test_evaluate_embeddings_from_files(tmp_path):
     )
     res = evaluate_embeddings(prefix, str(emb_dir), "test")
     assert res["test_f1"] > 0.9
+
+
+def test_eval_cli_subcommand(tmp_path, capsys):
+    from graphsage_tpu.cli import main
+    from graphsage_tpu.data.synthetic import make_synthetic_graph, write_dataset
+
+    g = make_synthetic_graph(num_nodes=120, num_classes=3, feat_dim=8, seed=4)
+    prefix = str(tmp_path / "synth")
+    write_dataset(g, prefix)
+    assert main(["eval", prefix, "feat", "test"]) == 0
+    out = capsys.readouterr().out
+    assert "test F1 (micro):" in out
