@@ -52,21 +52,22 @@ def unsupervised_outputs(
 ):
     """(out1, out2, neg_out), each l2-normalized.
 
-    The negative tower is just a third sage_embed call with
-    batch_size = neg_sample_size (models.py:356-360).
+    The reference builds three towers (models.py:347-360); since every
+    node's sample-and-aggregate is independent, all three run as ONE
+    batched pyramid over the concatenated ids — one frontier expansion
+    and one gather instead of three (the tiny negative tower otherwise
+    pays full per-call overhead), identical math.
     """
-    r_neg, r1, r2, r3 = jax.random.split(rng, 4)
+    r_neg, r_fwd = jax.random.split(rng)
     neg_ids = sample_negatives(r_neg, neg_cdf, config.neg_sample_size)
-    out1 = sage_embed(params, features, adj, batch1, r1, config.sage,
-                      deterministic)
-    out2 = sage_embed(params, features, adj, batch2, r2, config.sage,
-                      deterministic)
-    neg = sage_embed(params, features, adj, neg_ids, r3, config.sage,
+    B = batch1.shape[0]
+    all_ids = jnp.concatenate([batch1, batch2, neg_ids])
+    out = sage_embed(params, features, adj, all_ids, r_fwd, config.sage,
                      deterministic)
     return (
-        l2_normalize(out1, 1),
-        l2_normalize(out2, 1),
-        l2_normalize(neg, 1),
+        l2_normalize(out[:B], 1),
+        l2_normalize(out[B:2 * B], 1),
+        l2_normalize(out[2 * B:], 1),
     )
 
 
