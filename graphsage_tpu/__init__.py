@@ -14,7 +14,8 @@ Layout (mirrors the reference's implicit layering, SURVEY.md section 1):
   train/     configs, jitted train steps, trainers, checkpointing, export
   parallel/  mesh construction, data-parallel + graph-sharded training
   ops/       XLA/Pallas kernels for the hot paths
-  eval/      downstream linear-probe evaluation of embeddings
+  evaluation downstream linear-probe evaluation of embeddings
+  cli        `graphsage supervised|unsupervised|eval|walks`
 """
 
 __version__ = "0.1.0"
