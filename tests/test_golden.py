@@ -246,3 +246,70 @@ def test_fused_path_matches_numpy_mirror(toy_graph):
     )
     want = numpy_mean_forward(params, feats_np, adj_np, ids, fanouts, dims)
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
+
+
+def test_unsupervised_loss_matches_numpy(toy_graph):
+    """Three-tower skip-gram loss pinned against a NumPy mirror
+    (reference models.py:332-391 + prediction.py:102-110): towers run as
+    one batched pyramid, l2-normalized; xent = sum over edges of
+    -log(sig(aff)) + sum_negs -log(1-sig(neg_aff)), divided by batch."""
+    import scipy.special
+
+    from graphsage_tpu.models.unsupervised import (
+        UnsupervisedConfig,
+        init_unsupervised_params,
+        unsupervised_loss,
+    )
+    from graphsage_tpu.nn.negative import sample_negatives, unigram_cdf
+    from graphsage_tpu.data.adjacency import build_both_adjs
+
+    g = toy_graph
+    adj_np, deg, _ = build_both_adjs(g, max_degree=8)
+    feats_np = g.padded_features()
+    fanouts = (4, 3)
+    dims = (feats_np.shape[1], 8, 8)
+    sage = SAGEConfig(
+        layers=(LayerInfo(fanouts[0], dims[1]), LayerInfo(fanouts[1], dims[2])),
+        feature_dim=feats_np.shape[1],
+        aggregator="mean",
+        sampler_mode="first_k",
+    )
+    unsup = UnsupervisedConfig(sage=sage, neg_sample_size=5)
+    params = init_unsupervised_params(jax.random.key(0), unsup)
+
+    B = 8
+    b1 = g.edges[:B, 0].astype(np.int32)
+    b2 = g.edges[:B, 1].astype(np.int32)
+    mask = np.ones(B, np.float32)
+    neg_cdf = unigram_cdf(deg)
+    rng = jax.random.key(9)
+
+    loss, aux = unsupervised_loss(
+        params, jnp.asarray(feats_np), jnp.asarray(adj_np),
+        jnp.asarray(b1), jnp.asarray(b2), jnp.asarray(mask),
+        jnp.asarray(neg_cdf), rng, unsup, deterministic=True,
+    )
+
+    # replicate the negative draw (same key split as the implementation)
+    r_neg, _ = jax.random.split(rng)
+    neg_ids = np.asarray(
+        sample_negatives(r_neg, jnp.asarray(neg_cdf), 5)
+    )
+
+    def embed(ids):
+        e = numpy_mean_forward(params, feats_np, adj_np, ids, fanouts, dims)
+        return e / np.maximum(
+            np.sqrt((e ** 2).sum(1, keepdims=True)), np.sqrt(1e-12)
+        )
+
+    all_ids = np.concatenate([b1, b2, neg_ids])
+    out = embed(all_ids)
+    o1, o2, neg = out[:B], out[B:2 * B], out[2 * B:]
+    aff = (o1 * o2).sum(1)
+    neg_aff = o1 @ neg.T
+    # sigmoid xent with true labels 1 (aff) and 0 (neg_aff)
+    pos = -np.log(scipy.special.expit(aff))
+    negc = -np.log(1 - scipy.special.expit(neg_aff)).sum(1)
+    want = (pos + negc).sum() / B
+    np.testing.assert_allclose(float(loss), want, rtol=1e-4)
+    assert 0.0 <= float(aux["mrr"]) <= 1.0
