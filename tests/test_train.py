@@ -222,3 +222,14 @@ def test_one_layer_dispatch(tmp_path, graph):
     assert len(layers) == 1
     result = train(flags, graph=graph)
     assert np.isfinite(result["val_loss"])
+
+
+def test_full_incremental_validation(tmp_path, graph):
+    """validate_batch_size=-1 -> full incremental val sweep inside the
+    loop (reference supervised_train.py:281-282)."""
+    from graphsage_tpu.train.supervised import train
+
+    flags = tiny_flags(tmp_path, validate_batch_size=-1, epochs=1,
+                       max_total_steps=3)
+    result = train(flags, graph=graph)
+    assert np.isfinite(result["val_loss"])
