@@ -286,6 +286,121 @@ def make_sharded_supervised_step(
     return jax.jit(mapped, donate_argnums=(0, 1))
 
 
+def make_sharded_supervised_chunk_runner(
+    sup_config,
+    optimizer,
+    mesh,
+    batch_size: int,
+    axis_name: str = "graph",
+    capacity_factor: float = 4.0,
+    params_like=None,
+    opt_state_like=None,
+):
+    """Chunked multi-step dispatch for the graph-sharded path: a
+    lax.fori_loop of sharded train steps runs INSIDE shard_map, so the
+    per-hop all-to-alls and gradient psums happen every step while the
+    host syncs only per chunk (see parallel/dp.py for the single-device
+    analogue; n_steps is a traced bound).
+
+    runner(params, opt_state, rng, feat_local, adj_local, ids_perm,
+           labels_table, start_step, n_steps)
+    -> (params, opt_state, last_loss, last_preds, last_ids)
+
+    ``ids_perm`` is the device-resident padded+shuffled epoch stream
+    (global, same on every shard); each step slices its batch and splits
+    it across the axis locally.
+    """
+    from graphsage_tpu.models.graphsage import l2_normalize
+    from graphsage_tpu.models.supervised import (
+        _sigmoid_xent,
+        _softmax_xent,
+        supervised_predict,
+    )
+    from graphsage_tpu.nn.dense import apply_dense
+
+    config = sup_config.sage
+    num_nodes = config.num_nodes
+
+    def local_loss(params, feat_local, adj_local, ids, labels, mask, rng,
+                   global_mask_sum):
+        emb = sharded_sage_embed(
+            params, feat_local, adj_local, ids, rng, config, axis_name,
+            capacity_factor, deterministic=config.dropout == 0.0,
+        )
+        emb = l2_normalize(emb, axis=1)
+        logits = apply_dense(params["head"], emb, act=None)
+        if sup_config.sigmoid_loss:
+            per_node = _sigmoid_xent(logits, labels) / sup_config.num_classes
+        else:
+            per_node = _softmax_xent(logits, labels)
+        loss = jnp.sum(per_node * mask) / global_mask_sum
+        return loss, logits
+
+    def mapped(params, opt_state, rng, feat_local, adj_local, ids_perm,
+               labels_table, start_step, n_steps):
+        D = jax.lax.axis_size(axis_name)
+        me = jax.lax.axis_index(axis_name)
+        local_b = batch_size // D
+
+        def one_step(carry, step_idx):
+            params, opt_state = carry
+            batch_ids = jax.lax.dynamic_slice(
+                ids_perm,
+                (step_idx * batch_size + me * local_b,),
+                (local_b,),
+            )
+            labels = jnp.take(labels_table, batch_ids, axis=0)
+            mask = (batch_ids != num_nodes).astype(jnp.float32)
+            global_mask_sum = jnp.maximum(
+                jax.lax.psum(jnp.sum(mask), axis_name), 1.0
+            )
+            step_rng = jax.random.fold_in(rng, step_idx)
+            (loss, logits), grads = jax.value_and_grad(
+                local_loss, has_aux=True
+            )(params, feat_local, adj_local, batch_ids, labels, mask,
+              step_rng, global_mask_sum)
+            loss = jax.lax.psum(loss, axis_name)
+            grads = _psum_except_embeds(grads, axis_name)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            preds = supervised_predict(logits, sup_config)
+            return (params, opt_state), (loss, preds, batch_ids)
+
+        def body(j, state):
+            carry, _ = state
+            return one_step(carry, start_step + j)
+
+        lb = batch_size // D
+        dummy_out = (
+            jnp.zeros(()),
+            jnp.zeros((lb, sup_config.num_classes)),
+            jnp.zeros((lb,), ids_perm.dtype),
+        )
+        (params, opt_state), (loss, preds, ids) = jax.lax.fori_loop(
+            0, n_steps, body, ((params, opt_state), dummy_out)
+        )
+        return params, opt_state, loss, preds, ids
+
+    rep = P()
+    sh = P(axis_name)
+    if config.identity_dim > 0:
+        assert params_like is not None and opt_state_like is not None
+        p_spec = _embeds_spec_tree(params_like, axis_name)
+        o_spec = _embeds_spec_tree(opt_state_like, axis_name)
+    else:
+        p_spec = o_spec = rep
+    return jax.jit(
+        shard_map(
+            mapped,
+            mesh=mesh,
+            in_specs=(p_spec, o_spec, rep, sh, sh, rep, rep, rep, rep),
+            out_specs=(p_spec, o_spec, rep, sh, sh),
+            check_rep=False,
+        ),
+        donate_argnums=(0, 1),
+    )
+
+
 def make_sharded_supervised_eval(
     sup_config,
     mesh,

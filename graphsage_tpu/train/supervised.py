@@ -356,14 +356,33 @@ def _train_sharded(flags: TrainFlags, graph) -> dict:
     optimizer = make_optimizer(flags.learning_rate)
     opt_state = optimizer.init(params)
 
-    step = make_sharded_supervised_step(
-        config, optimizer, mesh,
+    from graphsage_tpu.parallel.graph_sharded import (
+        make_sharded_supervised_chunk_runner,
+    )
+
+    run_chunk = make_sharded_supervised_chunk_runner(
+        config, optimizer, mesh, flags.batch_size,
         params_like=params, opt_state_like=opt_state,
     )
     eval_step = make_sharded_supervised_eval(
         config, mesh, params_like=params
     )
     eval_key = jax.random.key(flags.seed + 1)
+
+    # device-resident epoch stream (global ids; each shard slices its
+    # split inside the runner)
+    B = flags.batch_size
+    dummy = graph.num_nodes
+    train_nodes = batcher.train_nodes
+    steps_per_epoch = max(1, -(-len(train_nodes) // B))
+    ids_padded = np.full((steps_per_epoch * B,), dummy, dtype=np.int32)
+    ids_padded[: len(train_nodes)] = train_nodes
+    ids_padded_dev = jnp.asarray(ids_padded)
+    labels_table = np.zeros(
+        (graph.num_nodes + 1, graph.num_classes), dtype=np.float32
+    )
+    labels_table[: graph.num_nodes] = graph.labels
+    labels_table_dev = jnp.asarray(labels_table)
 
     if flags.checkpoint_dir and flags.resume:
         restored = ckpt.restore(flags.checkpoint_dir, params, opt_state)
@@ -393,16 +412,20 @@ def _train_sharded(flags: TrainFlags, graph) -> dict:
     total_steps = 0
     val_cost = val_f1_mic = val_f1_mac = 0.0
     stop = False
+    chunk = max(1, min(flags.print_every, flags.validate_iter))
     for epoch in range(flags.epochs):
         print("Epoch: %04d" % (epoch + 1))
-        for it, batch in enumerate(batcher.epoch()):
-            key, sub = jax.random.split(key)
-            params, opt_state, loss, preds = step(
-                params, opt_state, sub, feat_sh, train_adj_sh,
-                jnp.asarray(batch.ids), jnp.asarray(batch.labels),
-                jnp.asarray(batch.mask),
+        key, epoch_key, loop_key = jax.random.split(key, 3)
+        ids_perm = jax.random.permutation(epoch_key, ids_padded_dev)
+        it = 0
+        while it < steps_per_epoch:
+            n = min(chunk, steps_per_epoch - it,
+                    max(1, flags.max_total_steps + 1 - total_steps))
+            params, opt_state, loss, preds, last_ids = run_chunk(
+                params, opt_state, loop_key, feat_sh, train_adj_sh,
+                ids_perm, labels_table_dev, it, n,
             )
-            if it % flags.validate_iter == 0:
+            if (it + n - 1) % flags.validate_iter < n:
                 vb = batcher.sample_val_batch(
                     max(flags.validate_batch_size, 1)
                     if flags.validate_batch_size != -1
@@ -417,19 +440,22 @@ def _train_sharded(flags: TrainFlags, graph) -> dict:
                 val_f1_mic, val_f1_mac = calc_f1(
                     vb.labels[:k], np.asarray(vpred)[:k], sigmoid
                 )
-            if total_steps % flags.print_every == 0:
-                k = int(batch.mask.sum())
+            it += n
+            total_steps += n
+            if (total_steps - 1) % flags.print_every < n:
+                ids_np = np.asarray(last_ids)
+                keep = ids_np != dummy
                 f1_mic, f1_mac = calc_f1(
-                    batch.labels[:k], np.asarray(preds)[:k], sigmoid
+                    labels_table[ids_np[keep]], np.asarray(preds)[keep],
+                    sigmoid,
                 )
                 print(
-                    "Iter:", "%04d" % it,
+                    "Iter:", "%04d" % (it - 1),
                     "train_loss=", "{:.5f}".format(float(loss)),
                     "train_f1_mic=", "{:.5f}".format(f1_mic),
                     "val_loss=", "{:.5f}".format(val_cost),
                     "val_f1_mic=", "{:.5f}".format(val_f1_mic),
                 )
-            total_steps += 1
             if total_steps > flags.max_total_steps:
                 stop = True
                 break
