@@ -451,6 +451,122 @@ def make_sharded_supervised_eval(
     ))
 
 
+def make_sharded_unsupervised_chunk_runner(
+    unsup_config,
+    optimizer,
+    mesh,
+    batch_size: int,
+    axis_name: str = "graph",
+    capacity_factor: float = 4.0,
+    params_like=None,
+    opt_state_like=None,
+):
+    """Chunked multi-step graph-sharded unsupervised training (see
+    make_sharded_supervised_chunk_runner). Carries the train-MRR EMA on
+    device.
+
+    runner(params, opt_state, shadow, rng, feat_local, adj_local,
+           pairs_perm [P,2], neg_cdf, start_step, n_steps)
+    -> (params, opt_state, shadow, last_loss, last_mrr)
+    """
+    from graphsage_tpu.models.graphsage import l2_normalize
+    from graphsage_tpu.nn import prediction
+    from graphsage_tpu.nn.negative import sample_negatives
+
+    config = unsup_config.sage
+    num_nodes = config.num_nodes
+
+    def mapped(params, opt_state, shadow, rng, feat_local, adj_local,
+               pairs_perm, neg_cdf, start_step, n_steps):
+        D = jax.lax.axis_size(axis_name)
+        me = jax.lax.axis_index(axis_name)
+        local_b = batch_size // D
+
+        def local_loss(params, b1, b2, mask, step_rng, global_mask_sum):
+            r_neg, r_fwd = jax.random.split(
+                jax.random.fold_in(step_rng, me)
+            )
+            neg_ids = sample_negatives(
+                r_neg, neg_cdf, unsup_config.neg_sample_size
+            )
+            all_ids = jnp.concatenate([b1, b2, neg_ids])
+            out = sharded_sage_embed(
+                params, feat_local, adj_local, all_ids, r_fwd, config,
+                axis_name, capacity_factor,
+                deterministic=config.dropout == 0.0,
+            )
+            lb = b1.shape[0]
+            o1 = l2_normalize(out[:lb], 1)
+            o2 = l2_normalize(out[lb:2 * lb], 1)
+            neg = l2_normalize(out[2 * lb:], 1)
+            raw = prediction.edge_pred_loss(
+                o1, o2, neg, loss_fn=unsup_config.loss_fn, mask=mask,
+                neg_sample_weights=unsup_config.neg_sample_weights,
+            )
+            loss = raw / global_mask_sum
+            aff = prediction.affinity(o1, o2)
+            neg_aff = prediction.neg_cost(o1, neg)
+            _, mrr = prediction.mrr_and_ranks(aff, neg_aff, mask)
+            return loss, mrr
+
+        def one_step(carry, step_idx):
+            params, opt_state, shadow = carry
+            pair = jax.lax.dynamic_slice(
+                pairs_perm,
+                (step_idx * batch_size + me * local_b, 0),
+                (local_b, 2),
+            )
+            b1, b2 = pair[:, 0], pair[:, 1]
+            mask = (b1 != num_nodes).astype(jnp.float32)
+            global_mask_sum = jnp.maximum(
+                jax.lax.psum(jnp.sum(mask), axis_name), 1.0
+            )
+            step_rng = jax.random.fold_in(rng, step_idx)
+            (loss, mrr), grads = jax.value_and_grad(
+                local_loss, has_aux=True
+            )(params, b1, b2, mask, step_rng, global_mask_sum)
+            loss = jax.lax.psum(loss, axis_name)
+            mrr = jax.lax.pmean(mrr, axis_name)
+            grads = _psum_except_embeds(grads, axis_name)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            shadow = jnp.where(
+                shadow < 0, mrr, shadow - (1 - 0.99) * (shadow - mrr)
+            )
+            return (params, opt_state, shadow), (loss, mrr)
+
+        def body(j, state):
+            carry, _ = state
+            return one_step(carry, start_step + j)
+
+        init = ((params, opt_state, shadow),
+                (jnp.zeros(()), jnp.zeros(())))
+        (params, opt_state, shadow), (loss, mrr) = jax.lax.fori_loop(
+            0, n_steps, body, init
+        )
+        return params, opt_state, shadow, loss, mrr
+
+    rep = P()
+    sh = P(axis_name)
+    if config.identity_dim > 0:
+        assert params_like is not None and opt_state_like is not None
+        p_spec = _embeds_spec_tree(params_like, axis_name)
+        o_spec = _embeds_spec_tree(opt_state_like, axis_name)
+    else:
+        p_spec = o_spec = rep
+    return jax.jit(
+        shard_map(
+            mapped,
+            mesh=mesh,
+            in_specs=(p_spec, o_spec, rep, rep, sh, sh, rep, rep, rep,
+                      rep),
+            out_specs=(p_spec, o_spec, rep, rep, rep),
+            check_rep=False,
+        ),
+        donate_argnums=(0, 1),
+    )
+
+
 def make_sharded_unsup_embed(
     unsup_config,
     mesh,

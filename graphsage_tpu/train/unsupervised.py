@@ -462,9 +462,13 @@ def _train_sharded(flags: TrainFlags, graph, deg, batcher: EdgeBatcher,
     optimizer = make_optimizer(flags.learning_rate)
     opt_state = optimizer.init(params)
 
-    step = make_sharded_unsupervised_step(
-        config, optimizer, mesh, params_like=params,
-        opt_state_like=opt_state,
+    from graphsage_tpu.parallel.graph_sharded import (
+        make_sharded_unsupervised_chunk_runner,
+    )
+
+    run_chunk = make_sharded_unsupervised_chunk_runner(
+        config, optimizer, mesh, flags.batch_size,
+        params_like=params, opt_state_like=opt_state,
     )
     eval_step = make_sharded_unsupervised_eval(
         config, mesh, params_like=params
@@ -472,44 +476,58 @@ def _train_sharded(flags: TrainFlags, graph, deg, batcher: EdgeBatcher,
     embed_step = make_sharded_unsup_embed(config, mesh, params_like=params)
     eval_key = jax.random.key(flags.seed + 1)
 
+    # device-resident pair stream (global; shards slice locally)
+    B = flags.batch_size
+    dummy = graph.num_nodes
+    train_pairs = batcher.train_pairs
+    steps_per_epoch = max(1, -(-len(train_pairs) // B))
+    pairs_padded = np.full((steps_per_epoch * B, 2), dummy, dtype=np.int32)
+    pairs_padded[: len(train_pairs)] = train_pairs
+    pairs_padded_dev = jnp.asarray(pairs_padded)
+
     total_steps = 0
-    train_shadow_mrr = None
+    shadow = jnp.asarray(-1.0)
     val_cost = val_mrr = 0.0
     stop = False
+    chunk = max(1, min(flags.print_every, flags.validate_iter))
     for epoch in range(flags.epochs):
         print("Epoch: %04d" % (epoch + 1))
-        for it, batch in enumerate(batcher.epoch()):
-            key, sub = jax.random.split(key)
-            params, opt_state, loss, mrr, _ = step(
-                params, opt_state, sub, feat_sh, train_adj_sh,
-                jnp.asarray(batch.batch1), jnp.asarray(batch.batch2),
-                jnp.asarray(batch.mask), neg_cdf,
+        key, epoch_key, loop_key = jax.random.split(key, 3)
+        pairs_perm = jax.random.permutation(
+            epoch_key, pairs_padded_dev, axis=0
+        )
+        it = 0
+        while it < steps_per_epoch:
+            n = min(chunk, steps_per_epoch - it,
+                    max(1, flags.max_total_steps + 1 - total_steps))
+            params, opt_state, shadow, loss, mrr = run_chunk(
+                params, opt_state, shadow, loop_key, feat_sh,
+                train_adj_sh, pairs_perm, neg_cdf, it, n,
             )
-            if train_shadow_mrr is None:
-                train_shadow_mrr = mrr
-            else:
-                train_shadow_mrr -= (1 - 0.99) * (train_shadow_mrr - mrr)
-            if it % flags.validate_iter == 0:
+            if (it + n - 1) % flags.validate_iter < n:
                 vb = batcher.sample_val_batch(flags.validate_batch_size)
                 val_cost, val_mrr = eval_step(
                     params, feat_sh, full_adj_sh,
                     jnp.asarray(vb.batch1), jnp.asarray(vb.batch2),
                     jnp.asarray(vb.mask), neg_cdf, eval_key,
                 )
-            if total_steps % flags.print_every == 0:
+            it += n
+            total_steps += n
+            if (total_steps - 1) % flags.print_every < n:
                 print(
-                    "Iter:", "%04d" % it,
+                    "Iter:", "%04d" % (it - 1),
                     "train_loss=", "{:.5f}".format(float(loss)),
                     "train_mrr=", "{:.5f}".format(float(mrr)),
+                    "train_mrr_ema=", "{:.5f}".format(float(shadow)),
                     "val_loss=", "{:.5f}".format(float(val_cost)),
                     "val_mrr=", "{:.5f}".format(float(val_mrr)),
                 )
-            total_steps += 1
             if total_steps > flags.max_total_steps:
                 stop = True
                 break
         if stop:
             break
+    train_shadow_mrr = shadow
 
     print("Optimization Finished!")
     if flags.save_embeddings:
