@@ -104,6 +104,10 @@ def build_parser() -> argparse.ArgumentParser:
                         help="directory with val.npy/val.txt, or 'feat'")
     p_eval.add_argument("setting", choices=("val", "test"))
     p_eval.add_argument("--seed", type=int, default=1)
+    p_eval.add_argument(
+        "--label_tsvs", default=None,
+        help="comma-separated per-class TSV label files (the reference "
+             "citation eval's scheme)")
 
     p_walks = sub.add_parser("walks", help="generate random-walk pairs "
                              "(reference utils.py:94-104)")
@@ -140,8 +144,13 @@ def main(argv=None) -> int:
     elif args.command == "eval":
         from graphsage_tpu.evaluation import evaluate_embeddings
 
-        evaluate_embeddings(args.train_prefix, args.embed_dir, args.setting,
-                            seed=args.seed)
+        evaluate_embeddings(
+            args.train_prefix, args.embed_dir, args.setting,
+            seed=args.seed,
+            label_tsvs=(
+                args.label_tsvs.split(",") if args.label_tsvs else None
+            ),
+        )
     elif args.command == "walks":
         import numpy as np
 

@@ -69,11 +69,27 @@ def load_embeddings(embed_dir: str, mod: str = ""):
     return embeds, id_map
 
 
+def read_label_tsvs(paths):
+    """Class map from per-class TSV files: class i = index of the file,
+    node id = first column, header skipped (the reference citation eval's
+    scheme, citation_eval.py:8-17, generalized from its hardcoded paths)."""
+    class_map = {}
+    for i, path in enumerate(paths):
+        with open(path) as fp:
+            fp.readline()
+            for line in fp:
+                parts = line.split()
+                if parts:
+                    class_map[parts[0]] = i
+    return class_map
+
+
 def evaluate_embeddings(
     prefix: str,
     embed_dir: str,
     setting: str = "test",
     seed: int = 1,
+    label_tsvs=None,
 ) -> dict:
     """Full pipeline: load dataset + embeddings, split, regress.
 
@@ -91,13 +107,20 @@ def evaluate_embeddings(
     train_idx = np.flatnonzero(graph.is_train)
     eval_idx = np.flatnonzero(is_eval)
 
-    labels = graph.labels
-    first = next(iter(graph.class_map.values()))
-    multilabel = isinstance(first, (list, np.ndarray))
-    if multilabel:
-        y = labels.astype(np.int32)
+    if label_tsvs:
+        # citation-style external labels (one TSV per class)
+        cm = read_label_tsvs(label_tsvs)
+        y = np.asarray(
+            [cm[str(nid)] for nid in graph.node_ids], dtype=np.int64
+        )
     else:
-        y = np.argmax(labels, axis=1)
+        labels = graph.labels
+        first = next(iter(graph.class_map.values()))
+        multilabel = isinstance(first, (list, np.ndarray))
+        if multilabel:
+            y = labels.astype(np.int32)
+        else:
+            y = np.argmax(labels, axis=1)
     train_labels, eval_labels = y[train_idx], y[eval_idx]
 
     if embed_dir == "feat":

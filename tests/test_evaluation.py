@@ -65,3 +65,23 @@ def test_eval_cli_subcommand(tmp_path, capsys):
     assert main(["eval", prefix, "feat", "test"]) == 0
     out = capsys.readouterr().out
     assert "test F1 (micro):" in out
+
+
+def test_label_tsvs_citation_scheme(tmp_path):
+    from graphsage_tpu.data.synthetic import make_synthetic_graph, write_dataset
+    from graphsage_tpu.evaluation import evaluate_embeddings
+
+    g = make_synthetic_graph(num_nodes=150, num_classes=3, feat_dim=8, seed=2)
+    prefix = str(tmp_path / "synth")
+    write_dataset(g, prefix)
+    classes = np.argmax(g.labels, axis=1)
+    tsvs = []
+    for c in range(3):
+        p = tmp_path / f"class_{c}.tsv"
+        lines = ["id\tmeta"] + [
+            f"{g.node_ids[i]}\tx" for i in np.flatnonzero(classes == c)
+        ]
+        p.write_text("\n".join(lines))
+        tsvs.append(str(p))
+    res = evaluate_embeddings(prefix, "feat", "test", label_tsvs=tsvs)
+    assert res["test_f1"] > 0.6  # same labels as class_map -> same signal
