@@ -43,13 +43,16 @@ TILE_B = 8  # output rows per grid step (Pallas sublane minimum for f32)
 
 
 def _gather_mean_kernel(idx_ref, feat_ref, out_ref, scratch, sems,
-                        *, S, F, tile_b):
-    """One grid step computes TILE_B output rows (out block [tile_b, F]).
+                        *, S, F, tile_b, n_buf):
+    """One grid step computes tile_b output rows (out block [tile_b, F]).
 
-    feat_ref is viewed as [N, R, F/R] and scratch as [2, tile_b*S, R, F/R]
-    (R = sublane packing of the dtype) so every DMA moves a block that
-    exactly spans the last two dims — single-row slices of a [N, F] array
-    violate Mosaic's sublane tiling.
+    feat_ref is viewed as [N, R, F/R] and scratch as
+    [n_buf, tile_b*S, R, F/R] (R = sublane packing of the dtype) so every
+    DMA moves a block that exactly spans the last two dims — single-row
+    slices of a [N, F] array violate Mosaic's sublane tiling. n_buf
+    scratch slots pipeline the DMAs of up to n_buf-1 future tiles behind
+    the current reduce. One DMA semaphore per ROW (shared by its S
+    same-size copies) keeps the sflag budget small.
     """
     t = pl.program_id(0)
     n_tiles = pl.num_programs(0)
@@ -64,7 +67,7 @@ def _gather_mean_kernel(idx_ref, feat_ref, out_ref, scratch, sems,
                 pltpu.make_async_copy(
                     feat_ref.at[idx_ref[tile * tile_b + r, s]],
                     scratch.at[slot, r * S + s],
-                    sems.at[slot, r * S + s],
+                    sems.at[slot, r],
                 ).start()
             return 0
 
@@ -75,21 +78,24 @@ def _gather_mean_kernel(idx_ref, feat_ref, out_ref, scratch, sems,
             for s in range(S):
                 pltpu.make_async_copy(
                     feat_ref.at[0], scratch.at[slot, r * S + s],
-                    sems.at[slot, r * S + s],
+                    sems.at[slot, r],
                 ).wait()
             return 0
 
         jax.lax.fori_loop(0, tile_b, body, 0)
 
-    slot = jax.lax.rem(t, 2)
+    slot = jax.lax.rem(t, n_buf)
 
     @pl.when(t == 0)
     def _():
-        issue(0, 0)
+        for k in range(n_buf - 1):
+            @pl.when(k < n_tiles)
+            def _():
+                issue(k, k)
 
-    @pl.when(t + 1 < n_tiles)
+    @pl.when(t + n_buf - 1 < n_tiles)
     def _():
-        issue(t + 1, jax.lax.rem(t + 1, 2))
+        issue(t + n_buf - 1, jax.lax.rem(t + n_buf - 1, n_buf))
 
     wait(slot)
     block = scratch[slot].astype(jnp.float32).reshape(tile_b, S, F)
@@ -122,14 +128,18 @@ def pad_feature_dim(features, dtype=None):
     return jnp.pad(features, ((0, 0), (0, pad)))
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def fused_gather_mean(features, idx, interpret: bool = False):
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "tile_b", "n_buf")
+)
+def fused_gather_mean(features, idx, interpret: bool = False,
+                      tile_b: int = TILE_B, n_buf: int = 2):
     """[B, F] = mean_s features[idx[b, s]] without materializing [B*S, F].
 
     features: [N, F] float32/bfloat16 (HBM-resident), idx: [B, S] int32.
-    Output is float32. B is padded to a multiple of TILE_B internally.
+    Output is float32. B is padded to a multiple of tile_b internally.
     On TPU, F must be a multiple of 128 (see pad_feature_dim); otherwise
-    the XLA reference path is used.
+    the XLA reference path is used. ``n_buf`` scratch buffers pipeline
+    the row DMAs of n_buf-1 tiles ahead.
     """
     B, S = idx.shape
     N, F = features.shape
@@ -153,33 +163,35 @@ def fused_gather_mean(features, idx, interpret: bool = False):
     CHUNK = 1024
     if B > CHUNK:
         outs = [
-            fused_gather_mean(features, idx[i:i + CHUNK], interpret=interpret)
+            fused_gather_mean(features, idx[i:i + CHUNK],
+                              interpret=interpret, tile_b=tile_b,
+                              n_buf=n_buf)
             for i in range(0, B, CHUNK)
         ]
         return jnp.concatenate(outs, axis=0)
 
-    pad = (-B) % TILE_B
+    pad = (-B) % tile_b
     if pad:
         idx = jnp.concatenate(
             [idx, jnp.zeros((pad, S), dtype=idx.dtype)], axis=0
         )
     Bp = B + pad
-    n_tiles = Bp // TILE_B
+    n_tiles = Bp // tile_b
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=pl.BlockSpec(
-            (TILE_B, F), lambda t, idx_ref: (t, 0), memory_space=pltpu.VMEM
+            (tile_b, F), lambda t, idx_ref: (t, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, TILE_B * S, R, F // R), features.dtype),
-            pltpu.SemaphoreType.DMA((2, TILE_B * S)),
+            pltpu.VMEM((n_buf, tile_b * S, R, F // R), features.dtype),
+            pltpu.SemaphoreType.DMA((n_buf, tile_b)),
         ],
     )
     kernel = functools.partial(
-        _gather_mean_kernel, S=S, F=F, tile_b=TILE_B
+        _gather_mean_kernel, S=S, F=F, tile_b=tile_b, n_buf=n_buf
     )
     out = pl.pallas_call(
         kernel,
