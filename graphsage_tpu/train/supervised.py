@@ -409,6 +409,9 @@ def _train_sharded(flags: TrainFlags, graph) -> dict:
                 time.time() - t0)
 
     log_dir = flags.log_dir("supervised")
+    from graphsage_tpu.train.tblog import ScalarLogger
+
+    logger = ScalarLogger(log_dir)
     total_steps = 0
     val_cost = val_f1_mic = val_f1_mac = 0.0
     stop = False
@@ -449,12 +452,18 @@ def _train_sharded(flags: TrainFlags, graph) -> dict:
                     labels_table[ids_np[keep]], np.asarray(preds)[keep],
                     sigmoid,
                 )
+                train_loss = float(loss)
                 print(
                     "Iter:", "%04d" % (it - 1),
-                    "train_loss=", "{:.5f}".format(float(loss)),
+                    "train_loss=", "{:.5f}".format(train_loss),
                     "train_f1_mic=", "{:.5f}".format(f1_mic),
                     "val_loss=", "{:.5f}".format(val_cost),
                     "val_f1_mic=", "{:.5f}".format(val_f1_mic),
+                )
+                logger.log(
+                    total_steps - 1, train_loss=train_loss,
+                    train_f1_mic=f1_mic, val_loss=val_cost,
+                    val_f1_mic=val_f1_mic,
                 )
             if total_steps > flags.max_total_steps:
                 stop = True
@@ -481,6 +490,9 @@ def _train_sharded(flags: TrainFlags, graph) -> dict:
         )
     if flags.checkpoint_dir:
         ckpt.save(flags.checkpoint_dir, params, opt_state, total_steps)
+    logger.log(total_steps, final_val_f1_mic=val_f1_mic,
+               final_test_f1_mic=test_f1_mic)
+    logger.close()
     return {
         "params": params,
         "val_loss": val_cost,
