@@ -71,29 +71,65 @@ def make_eval_step(config: SupervisedConfig):
     return jax.jit(eval_step)
 
 
-def _run_eval(eval_step, params, features, adj, batches, rng):
-    """Masked incremental evaluation -> (mean loss, micro f1, macro f1, dt).
+def make_eval_sweep(config: SupervisedConfig, batch_size: int,
+                    num_nodes: int):
+    """Whole-sweep evaluation in ONE dispatch: fori_loop over batches of
+    a device-resident padded id stream (dummy-padded, masked). Returns
+    (per-batch losses [n_b], flat preds [n_b*B, C]); one compile per
+    distinct stream length, cached.
 
-    Device results stay on device until one stacked fetch at the end —
-    per-batch host round-trips would dominate on tunneled TPUs.
+    sweep(params, features, adj, ids_all, labels_table, rng)
     """
-    t0 = time.time()
-    losses, preds, labels, ks = [], [], [], []
-    for batch in batches:
-        loss, p = eval_step(
-            params, features, adj,
-            jnp.asarray(batch.ids), jnp.asarray(batch.labels),
-            jnp.asarray(batch.mask), rng,
+
+    def sweep(params, features, adj, ids_all, labels_table, rng):
+        n_b = ids_all.shape[0] // batch_size
+
+        def body(i, acc):
+            losses, preds = acc
+            ids = jax.lax.dynamic_slice(
+                ids_all, (i * batch_size,), (batch_size,)
+            )
+            labels = jnp.take(labels_table, ids, axis=0)
+            mask = (ids != num_nodes).astype(jnp.float32)
+            loss, logits = supervised_loss(
+                params, features, adj, ids, labels, mask, rng, config,
+                deterministic=True,
+            )
+            p = supervised_predict(logits, config)
+            return (
+                losses.at[i].set(loss),
+                jax.lax.dynamic_update_slice(preds, p, (i * batch_size, 0)),
+            )
+
+        init = (
+            jnp.zeros((n_b,)),
+            jnp.zeros((n_b * batch_size, config.num_classes)),
         )
-        losses.append(loss)
-        preds.append(p)
-        ks.append(int(batch.mask.sum()))
-        labels.append(batch.labels[: ks[-1]])
-    losses = np.asarray(jnp.stack(losses))
-    preds_np = np.asarray(jnp.stack(preds))
-    preds = np.vstack([p[:k] for p, k in zip(preds_np, ks)])
-    labels = np.vstack(labels)
-    return float(np.mean(losses)), preds, labels, time.time() - t0
+        return jax.lax.fori_loop(0, n_b, body, init)
+
+    return jax.jit(sweep)
+
+
+def _run_eval_sweep(sweep_fn, params, features, adj, nodes, labels_np,
+                    batch_size: int, num_nodes: int, rng):
+    """Device-resident sweep wrapper -> (mean loss, preds, labels, dt)."""
+    t0 = time.time()
+    n_b = max(1, -(-len(nodes) // batch_size))
+    ids_all = np.full((n_b * batch_size,), num_nodes, dtype=np.int32)
+    ids_all[: len(nodes)] = nodes
+    labels_table = np.zeros(
+        (num_nodes + 1, labels_np.shape[1]), dtype=np.float32
+    )
+    labels_table[: labels_np.shape[0]] = labels_np
+    losses, preds = sweep_fn(
+        params, features, adj, jnp.asarray(ids_all),
+        jnp.asarray(labels_table), rng,
+    )
+    preds = np.asarray(preds)[: len(nodes)]
+    labels = labels_np[nodes]
+    return float(np.mean(np.asarray(losses))), preds, labels, (
+        time.time() - t0
+    )
 
 
 def train(flags: TrainFlags, graph=None) -> dict:
@@ -158,7 +194,14 @@ def train(flags: TrainFlags, graph=None) -> dict:
     )
 
     eval_step = make_eval_step(config)
+    eval_sweep = make_eval_sweep(config, B, dummy)
     eval_key = jax.random.key(flags.seed + 1)
+
+    def full_eval(nodes):
+        return _run_eval_sweep(
+            eval_sweep, params, features, full_adj, nodes, graph.labels,
+            B, dummy, eval_key,
+        )
 
     total_steps = 0
     if flags.checkpoint_dir and flags.resume:
@@ -196,10 +239,7 @@ def train(flags: TrainFlags, graph=None) -> dict:
             # validate when [it, it+n) crosses a multiple of validate_iter
             if (it + n - 1) % flags.validate_iter < n:
                 if flags.validate_batch_size == -1:
-                    val_cost, vp, vl, _ = _run_eval(
-                        eval_step, params, features, full_adj,
-                        batcher.val_batches(), eval_key,
-                    )
+                    val_cost, vp, vl, _ = full_eval(batcher.val_nodes)
                     val_f1_mic, val_f1_mac = calc_f1(vl, vp, sigmoid)
                 else:
                     vb = batcher.sample_val_batch(flags.validate_batch_size)
@@ -262,9 +302,7 @@ def train(flags: TrainFlags, graph=None) -> dict:
         jax.profiler.stop_trace()
 
     print("Optimization Finished!")
-    val_cost, vp, vl, duration = _run_eval(
-        eval_step, params, features, full_adj, batcher.val_batches(), eval_key
-    )
+    val_cost, vp, vl, duration = full_eval(batcher.val_nodes)
     val_f1_mic, val_f1_mac = calc_f1(vl, vp, sigmoid)
     print(
         "Full validation stats:",
@@ -284,9 +322,7 @@ def train(flags: TrainFlags, graph=None) -> dict:
     logger.close()
 
     print("Writing test set stats to file (don't peak!)")
-    test_cost, tp, tl, _ = _run_eval(
-        eval_step, params, features, full_adj, batcher.test_batches(), eval_key
-    )
+    test_cost, tp, tl, _ = full_eval(batcher.test_nodes)
     test_f1_mic, test_f1_mac = calc_f1(tl, tp, sigmoid)
     with open(log_dir + "/test_stats.txt", "w") as fp:
         fp.write(
