@@ -102,6 +102,97 @@ def _gather_mean_kernel(idx_ref, feat_ref, out_ref, scratch, sems,
     out_ref[:, :] = jnp.sum(block, axis=1) * (1.0 / S)
 
 
+def _gather_mean_dedup_kernel(idx_ref, feat_ref, w_ref, out_ref, scratch,
+                              sems, *, S, F, tile_b, n_buf):
+    """Dedup variant: idx is SORTED per row and ``w`` carries
+    multiplicity/S at each first occurrence (0 at duplicates), so the
+    kernel skips the DMA for any sample equal to its predecessor and the
+    reduce becomes a weighted sum. Guaranteed duplicates exist whenever
+    a node's degree < S (padded adjacency resamples with replacement), so
+    real graphs skip a large share of row DMAs."""
+    t = pl.program_id(0)
+    n_tiles = pl.num_programs(0)
+
+    def issue(tile, slot):
+        def body(r, _):
+            row = tile * tile_b + r
+            pltpu.make_async_copy(
+                feat_ref.at[idx_ref[row, 0]],
+                scratch.at[slot, r * S],
+                sems.at[slot, r],
+            ).start()
+            for s in range(1, S):
+                @pl.when(idx_ref[row, s] != idx_ref[row, s - 1])
+                def _():
+                    pltpu.make_async_copy(
+                        feat_ref.at[idx_ref[row, s]],
+                        scratch.at[slot, r * S + s],
+                        sems.at[slot, r],
+                    ).start()
+            return 0
+
+        jax.lax.fori_loop(0, tile_b, body, 0)
+
+    def wait(slot, tile):
+        def body(r, _):
+            row = tile * tile_b + r
+            pltpu.make_async_copy(
+                feat_ref.at[0], scratch.at[slot, r * S], sems.at[slot, r]
+            ).wait()
+            for s in range(1, S):
+                @pl.when(idx_ref[row, s] != idx_ref[row, s - 1])
+                def _():
+                    pltpu.make_async_copy(
+                        feat_ref.at[0], scratch.at[slot, r * S + s],
+                        sems.at[slot, r],
+                    ).wait()
+            return 0
+
+        jax.lax.fori_loop(0, tile_b, body, 0)
+
+    slot = jax.lax.rem(t, n_buf)
+
+    @pl.when(t == 0)
+    def _():
+        for k in range(n_buf - 1):
+            @pl.when(k < n_tiles)
+            def _():
+                issue(k, k)
+
+    @pl.when(t + n_buf - 1 < n_tiles)
+    def _():
+        issue(t + n_buf - 1, jax.lax.rem(t + n_buf - 1, n_buf))
+
+    wait(slot, t)
+    block = scratch[slot].astype(jnp.float32).reshape(tile_b, S, F)
+    # duplicate slots hold stale/uninitialized data (NaN in interpret
+    # mode) — select them to zero BEFORE the weighted sum (0*NaN = NaN)
+    wb = w_ref[:, :][:, :, None]
+    block = jnp.where(wb > 0, block, 0.0)
+    # elementwise multiply + sum (Mosaic can't lower a mid-dim-contracting
+    # einsum); pure VPU work
+    out_ref[:, :] = jnp.sum(block * wb, axis=1)
+
+
+def dedup_sort_weights(idx):
+    """(idx_sorted, w) for the dedup kernel: per-row sort; w[b,s] =
+    multiplicity/S at each first occurrence, 0 at duplicates. XLA-side,
+    O(B*S^2) scalar compares — trivial next to the gather itself."""
+    idx_sorted = jnp.sort(idx, axis=1)
+    S = idx.shape[1]
+    eq = idx_sorted[:, :, None] == idx_sorted[:, None, :]
+    counts = eq.sum(-1).astype(jnp.float32)
+    first = jnp.concatenate(
+        [
+            jnp.ones_like(idx_sorted[:, :1], dtype=bool),
+            idx_sorted[:, 1:] != idx_sorted[:, :-1],
+        ],
+        axis=1,
+    )
+    w = jnp.where(first, counts / S, 0.0)
+    return idx_sorted, w
+
+
 def _row_sublanes(dtype) -> int:
     """Sublane granularity of a single-row DMA view: f32 rows DMA as
     (1, F) blocks; bf16 packs 2 values per sublane word, so rows must be
@@ -129,10 +220,11 @@ def pad_feature_dim(features, dtype=None):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("interpret", "tile_b", "n_buf")
+    jax.jit, static_argnames=("interpret", "tile_b", "n_buf", "dedup")
 )
 def fused_gather_mean(features, idx, interpret: bool = False,
-                      tile_b: int = TILE_B, n_buf: int = 2):
+                      tile_b: int = TILE_B, n_buf: int = 2,
+                      dedup: bool = False):
     """[B, F] = mean_s features[idx[b, s]] without materializing [B*S, F].
 
     features: [N, F] float32/bfloat16 (HBM-resident), idx: [B, S] int32.
@@ -165,7 +257,7 @@ def fused_gather_mean(features, idx, interpret: bool = False,
         outs = [
             fused_gather_mean(features, idx[i:i + CHUNK],
                               interpret=interpret, tile_b=tile_b,
-                              n_buf=n_buf)
+                              n_buf=n_buf, dedup=dedup)
             for i in range(0, B, CHUNK)
         ]
         return jnp.concatenate(outs, axis=0)
@@ -178,25 +270,15 @@ def fused_gather_mean(features, idx, interpret: bool = False,
     Bp = B + pad
     n_tiles = Bp // tile_b
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(n_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec(
-            (tile_b, F), lambda t, idx_ref: (t, 0), memory_space=pltpu.VMEM
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((n_buf, tile_b * S, R, F // R), features.dtype),
-            pltpu.SemaphoreType.DMA((n_buf, tile_b)),
-        ],
+    scratch_shapes = [
+        pltpu.VMEM((n_buf, tile_b * S, R, F // R), features.dtype),
+        pltpu.SemaphoreType.DMA((n_buf, tile_b)),
+    ]
+    out_shape = jax.ShapeDtypeStruct((Bp, F), jnp.float32)
+    out_spec = pl.BlockSpec(
+        (tile_b, F), lambda t, idx_ref: (t, 0), memory_space=pltpu.VMEM
     )
-    kernel = functools.partial(
-        _gather_mean_kernel, S=S, F=F, tile_b=tile_b, n_buf=n_buf
-    )
-    out = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((Bp, F), jnp.float32),
+    params = dict(
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=96 * 1024 * 1024,
@@ -206,5 +288,42 @@ def fused_gather_mean(features, idx, interpret: bool = False,
             bytes_accessed=Bp * S * F * features.dtype.itemsize + Bp * F * 4,
             transcendentals=0,
         ),
-    )(idx, features.reshape(N, R, F // R))
+    )
+    feats_view = features.reshape(N, R, F // R)
+
+    if dedup:
+        idx_sorted, w = dedup_sort_weights(idx)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(
+                    (tile_b, S), lambda t, idx_ref: (t, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=out_spec,
+            scratch_shapes=scratch_shapes,
+        )
+        kernel = functools.partial(
+            _gather_mean_dedup_kernel, S=S, F=F, tile_b=tile_b, n_buf=n_buf
+        )
+        out = pl.pallas_call(
+            kernel, grid_spec=grid_spec, out_shape=out_shape, **params
+        )(idx_sorted, feats_view, w)
+    else:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_tiles,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            out_specs=out_spec,
+            scratch_shapes=scratch_shapes,
+        )
+        kernel = functools.partial(
+            _gather_mean_kernel, S=S, F=F, tile_b=tile_b, n_buf=n_buf
+        )
+        out = pl.pallas_call(
+            kernel, grid_spec=grid_spec, out_shape=out_shape, **params
+        )(idx, feats_view)
     return out[:B] if pad else out

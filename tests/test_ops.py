@@ -163,3 +163,27 @@ def test_sage_embed_fused_pool_matches_unfused(toy_graph):
     np.testing.assert_allclose(
         np.asarray(out_fused), np.asarray(out_plain), rtol=1e-4, atol=1e-5
     )
+
+
+def test_dedup_sort_weights_semantics(np_rng):
+    from graphsage_tpu.ops.gather import dedup_sort_weights
+
+    idx = jnp.asarray([[3, 1, 3, 3, 7], [2, 2, 2, 2, 2]], dtype=jnp.int32)
+    idx_s, w = dedup_sort_weights(idx)
+    np.testing.assert_array_equal(np.asarray(idx_s),
+                                  [[1, 3, 3, 3, 7], [2, 2, 2, 2, 2]])
+    np.testing.assert_allclose(
+        np.asarray(w),
+        [[0.2, 0.6, 0.0, 0.0, 0.2], [1.0, 0, 0, 0, 0]],
+    )
+
+
+@pytest.mark.parametrize("B,S,F", [(8, 5, 16), (13, 25, 32)])
+def test_fused_gather_mean_dedup_matches_reference(np_rng, B, S, F):
+    feats = jnp.asarray(np_rng.standard_normal((10, F)).astype(np.float32))
+    # small table -> many duplicate draws
+    idx = jnp.asarray(np_rng.integers(0, 10, (B, S), dtype=np.int32))
+    ref = gather_mean_reference(feats, idx)
+    out = fused_gather_mean(feats, idx, interpret=True, dedup=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5,
+                               atol=1e-6)
