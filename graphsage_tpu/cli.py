@@ -55,6 +55,10 @@ def _add_common(p: argparse.ArgumentParser, defaults: TrainFlags):
     p.add_argument("--fused_gather", action=argparse.BooleanOptionalAction,
                    default=d.fused_gather,
                    help="Pallas fused gather+mean for the innermost hop")
+    p.add_argument("--dedup_gather", action=argparse.BooleanOptionalAction,
+                   default=d.dedup_gather,
+                   help="skip duplicate-sample DMAs in the fused gather "
+                        "(wins on low-degree/power-law graphs)")
     p.add_argument("--feature_dtype", choices=("float32", "bfloat16"),
                    default=d.feature_dtype,
                    help="on-device feature table dtype (bfloat16 halves "

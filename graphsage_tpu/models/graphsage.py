@@ -56,6 +56,7 @@ class SAGEConfig:
     dropout: float = 0.0
     sampler_mode: str = "independent"  # or "shared_perm"
     fused_gather: bool = False  # Pallas gather+mean for the innermost hop
+    dedup_gather: bool = False  # skip duplicate-sample DMAs in the kernel
 
     @property
     def input_dim(self) -> int:
@@ -258,7 +259,9 @@ def sage_embed(
         if config.aggregator == "mean":
             from graphsage_tpu.ops.gather import fused_gather_mean
 
-            last_mean = fused_gather_mean(features, idx2)
+            last_mean = fused_gather_mean(
+                features, idx2, dedup=config.dedup_gather
+            )
             if last_mean.shape[1] != config.feature_dim:
                 last_mean = last_mean[:, : config.feature_dim]
         else:

@@ -64,6 +64,7 @@ class TrainFlags:
 
     # TPU-native additions (no reference equivalent)
     fused_gather: bool = True   # Pallas gather+mean for the innermost hop
+    dedup_gather: bool = False  # skip duplicate-sample DMAs (low-degree win)
     feature_dtype: str = "float32"  # "bfloat16" halves gather bandwidth
     graph_shards: int = 1       # row-shard tables over N devices (P2)
     seed: int = 123

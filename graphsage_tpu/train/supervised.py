@@ -49,6 +49,7 @@ def build_supervised_config(flags: TrainFlags, graph) -> SupervisedConfig:
         num_nodes=graph.num_nodes,
         dropout=flags.dropout,
         fused_gather=flags.fused_gather,
+        dedup_gather=flags.dedup_gather,
     )
     return SupervisedConfig(
         sage=sage,

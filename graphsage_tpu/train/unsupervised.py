@@ -50,6 +50,7 @@ def build_unsupervised_config(flags: TrainFlags, graph) -> UnsupervisedConfig:
         num_nodes=graph.num_nodes,
         dropout=flags.dropout,
         fused_gather=flags.fused_gather,
+        dedup_gather=flags.dedup_gather,
     )
     return UnsupervisedConfig(
         sage=sage,
