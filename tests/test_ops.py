@@ -88,8 +88,9 @@ def test_sage_embed_fused_matches_unfused(toy_graph):
 
     orig = gather_mod.fused_gather_mean
 
-    def interp(feats_, idx_):
-        return orig(feats_, idx_, interpret=True)
+    def interp(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
 
     with unittest.mock.patch.object(
         gather_mod, "fused_gather_mean", side_effect=interp
