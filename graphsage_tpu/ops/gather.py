@@ -102,33 +102,36 @@ def _gather_mean_kernel(idx_ref, feat_ref, out_ref, scratch, sems,
     out_ref[:, :] = jnp.sum(block, axis=1) * (1.0 / S)
 
 
-def _gather_mean_dedup_kernel(idx_ref, feat_ref, w_ref, out_ref, scratch,
-                              sems, *, S, F, tile_b, n_buf):
-    """Dedup variant: idx is SORTED per row and ``w`` carries
-    multiplicity/S at each first occurrence (0 at duplicates), so the
-    kernel skips the DMA for any sample equal to its predecessor and the
-    reduce becomes a weighted sum. Guaranteed duplicates exist whenever
-    a node's degree < S (padded adjacency resamples with replacement), so
-    real graphs skip a large share of row DMAs."""
+def _gather_mean_dedup_kernel(idx_ref, nuniq_ref, feat_ref, w_ref, out_ref,
+                              scratch, sems, *, S, F, tile_b, n_buf):
+    """Dedup variant: ``idx`` holds each row's UNIQUE sample values
+    compacted to the left (duplicate tail padded), ``nuniq`` their count,
+    and ``w`` multiplicity/S aligned to the compacted positions (0 in the
+    tail). The per-row DMA loop runs only ``nuniq`` iterations.
+
+    STATUS: correct but measured SLOWER than the plain kernel on v5e
+    (uniform 8.0ms / deg-8 5.1ms vs plain 3.9ms at the Reddit hop shape):
+    dynamic-trip-count scalar loops cost more per iteration than the
+    skipped DMA issues — the plain kernel's unrolled issue loop is
+    already at the scalar-issue optimum. Kept as an opt-in experiment;
+    a future approach needs dedup granularity ABOVE the row level (e.g.
+    hot-row caching) rather than in the issue loop."""
     t = pl.program_id(0)
     n_tiles = pl.num_programs(0)
 
     def issue(tile, slot):
         def body(r, _):
             row = tile * tile_b + r
-            pltpu.make_async_copy(
-                feat_ref.at[idx_ref[row, 0]],
-                scratch.at[slot, r * S],
-                sems.at[slot, r],
-            ).start()
-            for s in range(1, S):
-                @pl.when(idx_ref[row, s] != idx_ref[row, s - 1])
-                def _():
-                    pltpu.make_async_copy(
-                        feat_ref.at[idx_ref[row, s]],
-                        scratch.at[slot, r * S + s],
-                        sems.at[slot, r],
-                    ).start()
+
+            def dma(u, _):
+                pltpu.make_async_copy(
+                    feat_ref.at[idx_ref[row, u]],
+                    scratch.at[slot, r * S + u],
+                    sems.at[slot, r],
+                ).start()
+                return 0
+
+            jax.lax.fori_loop(0, nuniq_ref[row], dma, 0)
             return 0
 
         jax.lax.fori_loop(0, tile_b, body, 0)
@@ -136,16 +139,15 @@ def _gather_mean_dedup_kernel(idx_ref, feat_ref, w_ref, out_ref, scratch,
     def wait(slot, tile):
         def body(r, _):
             row = tile * tile_b + r
-            pltpu.make_async_copy(
-                feat_ref.at[0], scratch.at[slot, r * S], sems.at[slot, r]
-            ).wait()
-            for s in range(1, S):
-                @pl.when(idx_ref[row, s] != idx_ref[row, s - 1])
-                def _():
-                    pltpu.make_async_copy(
-                        feat_ref.at[0], scratch.at[slot, r * S + s],
-                        sems.at[slot, r],
-                    ).wait()
+
+            def one(u, _):
+                pltpu.make_async_copy(
+                    feat_ref.at[0], scratch.at[slot, r * S + u],
+                    sems.at[slot, r],
+                ).wait()
+                return 0
+
+            jax.lax.fori_loop(0, nuniq_ref[row], one, 0)
             return 0
 
         jax.lax.fori_loop(0, tile_b, body, 0)
@@ -165,8 +167,8 @@ def _gather_mean_dedup_kernel(idx_ref, feat_ref, w_ref, out_ref, scratch,
 
     wait(slot, t)
     block = scratch[slot].astype(jnp.float32).reshape(tile_b, S, F)
-    # duplicate slots hold stale/uninitialized data (NaN in interpret
-    # mode) — select them to zero BEFORE the weighted sum (0*NaN = NaN)
+    # tail slots hold stale/uninitialized data (NaN in interpret mode) —
+    # select them to zero BEFORE the weighted sum (0*NaN = NaN)
     wb = w_ref[:, :][:, :, None]
     block = jnp.where(wb > 0, block, 0.0)
     # elementwise multiply + sum (Mosaic can't lower a mid-dim-contracting
@@ -174,12 +176,14 @@ def _gather_mean_dedup_kernel(idx_ref, feat_ref, w_ref, out_ref, scratch,
     out_ref[:, :] = jnp.sum(block * wb, axis=1)
 
 
-def dedup_sort_weights(idx):
-    """(idx_sorted, w) for the dedup kernel: per-row sort; w[b,s] =
-    multiplicity/S at each first occurrence, 0 at duplicates. XLA-side,
-    O(B*S^2) scalar compares — trivial next to the gather itself."""
+def dedup_compact(idx):
+    """(idx_unique [B,S], n_unique [B], w [B,S]) for the dedup kernel:
+    per-row sort, unique values compacted left (tail padded with the
+    first value), multiplicity/S weights aligned to compacted positions
+    (0 in the tail). XLA-side, O(B*S^2) compares — trivial next to the
+    gather itself."""
     idx_sorted = jnp.sort(idx, axis=1)
-    S = idx.shape[1]
+    B, S = idx.shape
     eq = idx_sorted[:, :, None] == idx_sorted[:, None, :]
     counts = eq.sum(-1).astype(jnp.float32)
     first = jnp.concatenate(
@@ -189,8 +193,14 @@ def dedup_sort_weights(idx):
         ],
         axis=1,
     )
-    w = jnp.where(first, counts / S, 0.0)
-    return idx_sorted, w
+    pos = jnp.cumsum(first, axis=1) - 1          # compacted position
+    n_unique = (pos[:, -1] + 1).astype(jnp.int32)
+    rows = jnp.arange(B)[:, None]
+    idx_unique = jnp.zeros_like(idx_sorted).at[rows, pos].set(idx_sorted)
+    w = jnp.zeros((B, S), jnp.float32).at[rows, pos].add(
+        jnp.where(first, counts / S, 0.0)
+    )
+    return idx_unique, n_unique, w
 
 
 def _row_sublanes(dtype) -> int:
@@ -292,18 +302,21 @@ def fused_gather_mean(features, idx, interpret: bool = False,
     feats_view = features.reshape(N, R, F // R)
 
     if dedup:
-        idx_sorted, w = dedup_sort_weights(idx)
+        idx_unique, n_unique, w = dedup_compact(idx)
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,
             grid=(n_tiles,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.ANY),
                 pl.BlockSpec(
-                    (tile_b, S), lambda t, idx_ref: (t, 0),
+                    (tile_b, S), lambda t, i_ref, n_ref: (t, 0),
                     memory_space=pltpu.VMEM,
                 ),
             ],
-            out_specs=out_spec,
+            out_specs=pl.BlockSpec(
+                (tile_b, F), lambda t, i_ref, n_ref: (t, 0),
+                memory_space=pltpu.VMEM,
+            ),
             scratch_shapes=scratch_shapes,
         )
         kernel = functools.partial(
@@ -311,7 +324,7 @@ def fused_gather_mean(features, idx, interpret: bool = False,
         )
         out = pl.pallas_call(
             kernel, grid_spec=grid_spec, out_shape=out_shape, **params
-        )(idx_sorted, feats_view, w)
+        )(idx_unique, n_unique, feats_view, w)
     else:
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,

@@ -166,16 +166,17 @@ def test_sage_embed_fused_pool_matches_unfused(toy_graph):
     )
 
 
-def test_dedup_sort_weights_semantics(np_rng):
-    from graphsage_tpu.ops.gather import dedup_sort_weights
+def test_dedup_compact_semantics(np_rng):
+    from graphsage_tpu.ops.gather import dedup_compact
 
     idx = jnp.asarray([[3, 1, 3, 3, 7], [2, 2, 2, 2, 2]], dtype=jnp.int32)
-    idx_s, w = dedup_sort_weights(idx)
-    np.testing.assert_array_equal(np.asarray(idx_s),
-                                  [[1, 3, 3, 3, 7], [2, 2, 2, 2, 2]])
+    idx_u, n_u, w = dedup_compact(idx)
+    np.testing.assert_array_equal(np.asarray(n_u), [3, 1])
+    np.testing.assert_array_equal(np.asarray(idx_u)[0, :3], [1, 3, 7])
+    np.testing.assert_array_equal(np.asarray(idx_u)[1, :1], [2])
     np.testing.assert_allclose(
         np.asarray(w),
-        [[0.2, 0.6, 0.0, 0.0, 0.2], [1.0, 0, 0, 0, 0]],
+        [[0.2, 0.6, 0.2, 0.0, 0.0], [1.0, 0, 0, 0, 0]],
     )
 
 
