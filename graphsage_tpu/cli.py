@@ -71,6 +71,9 @@ def _add_common(p: argparse.ArgumentParser, defaults: TrainFlags):
     p.add_argument("--checkpoint_every", type=int, default=d.checkpoint_every)
     p.add_argument("--resume", action="store_true")
     p.add_argument("--profile_dir", default=d.profile_dir)
+    p.add_argument("--log_histograms", action="store_true",
+                   help="param histograms to TensorBoard at print steps "
+                        "(reference layers.py logging=True analogue)")
 
 
 def build_parser() -> argparse.ArgumentParser:

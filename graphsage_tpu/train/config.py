@@ -73,6 +73,7 @@ class TrainFlags:
     checkpoint_every: int = 0   # steps; 0 = only at end
     resume: bool = False
     profile_dir: str = ""       # jax.profiler trace output
+    log_histograms: bool = False  # param histograms to TensorBoard (ref layers.py:59-70)
 
     def log_dir(self, task: str) -> str:
         """Reference layout: <base>/<sup|unsup>-<data>/<model>_<size>_<lr>/

@@ -288,6 +288,8 @@ def train(flags: TrainFlags, graph=None) -> dict:
                     val_loss=val_cost, val_f1_mic=val_f1_mic,
                     val_f1_mac=val_f1_mac, step_time=avg_time,
                 )
+                if flags.log_histograms:
+                    logger.log_histograms(total_steps - 1, params)
 
             if (flags.checkpoint_dir and flags.checkpoint_every
                     and total_steps % flags.checkpoint_every < n):

@@ -254,6 +254,8 @@ def train(flags: TrainFlags, graph=None) -> dict:
                     "time=", "{:.5f}".format(avg_time),
                 )
                 logger.log(total_steps - 1, step_time=avg_time, **scal)
+                if flags.log_histograms:
+                    logger.log_histograms(total_steps - 1, params)
 
             if (flags.checkpoint_dir and flags.checkpoint_every
                     and total_steps % flags.checkpoint_every < n):

@@ -233,3 +233,18 @@ def test_full_incremental_validation(tmp_path, graph):
                        max_total_steps=3)
     result = train(flags, graph=graph)
     assert np.isfinite(result["val_loss"])
+
+
+def test_log_histograms_flag(tmp_path, graph):
+    """--log_histograms writes TB event files with histogram data."""
+    import glob
+
+    from graphsage_tpu.train.supervised import train
+
+    flags = tiny_flags(tmp_path, epochs=1, max_total_steps=3,
+                       print_every=1, log_histograms=True)
+    train(flags, graph=graph)
+    events = glob.glob(
+        str(tmp_path) + "/sup-synth/*/events.out.tfevents*"
+    )
+    assert events, "tensorboard event file not written"
