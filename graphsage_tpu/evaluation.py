@@ -108,10 +108,18 @@ def evaluate_embeddings(
     eval_idx = np.flatnonzero(is_eval)
 
     if label_tsvs:
-        # citation-style external labels (one TSV per class)
+        # citation-style external labels (one TSV per class); nodes absent
+        # from every TSV are excluded from both splits (the reference eval
+        # only iterates labeled nodes)
         cm = read_label_tsvs(label_tsvs)
+        labeled = np.asarray(
+            [str(nid) in cm for nid in graph.node_ids], dtype=bool
+        )
+        train_idx = train_idx[labeled[train_idx]]
+        eval_idx = eval_idx[labeled[eval_idx]]
         y = np.asarray(
-            [cm[str(nid)] for nid in graph.node_ids], dtype=np.int64
+            [cm.get(str(nid), -1) for nid in graph.node_ids],
+            dtype=np.int64,
         )
     else:
         labels = graph.labels

@@ -334,6 +334,17 @@ def make_sharded_supervised_chunk_runner(
         else:
             per_node = _softmax_xent(logits, labels)
         loss = jnp.sum(per_node * mask) / global_mask_sum
+        if sup_config.weight_decay > 0.0:
+            from graphsage_tpu.models.graphsage import sage_decay_weights
+
+            decayed = sage_decay_weights(params, config)
+            decayed += [params["head"]["w"], params["head"]["b"]]
+            # replicated work: /D so the psum of shard losses/grads
+            # reproduces the single-device value
+            D = jax.lax.axis_size(axis_name)
+            loss = loss + sup_config.weight_decay * sum(
+                0.5 * jnp.sum(w * w) for w in decayed
+            ) / D
         return loss, logits
 
     def mapped(params, opt_state, rng, feat_local, adj_local, ids_perm,
@@ -370,11 +381,10 @@ def make_sharded_supervised_chunk_runner(
             carry, _ = state
             return one_step(carry, start_step + j)
 
-        lb = batch_size // D
         dummy_out = (
             jnp.zeros(()),
-            jnp.zeros((lb, sup_config.num_classes)),
-            jnp.zeros((lb,), ids_perm.dtype),
+            jnp.zeros((local_b, sup_config.num_classes)),
+            jnp.zeros((local_b,), ids_perm.dtype),
         )
         (params, opt_state), (loss, preds, ids) = jax.lax.fori_loop(
             0, n_steps, body, ((params, opt_state), dummy_out)
@@ -504,6 +514,16 @@ def make_sharded_unsupervised_chunk_runner(
                 neg_sample_weights=unsup_config.neg_sample_weights,
             )
             loss = raw / global_mask_sum
+            if unsup_config.weight_decay > 0.0:
+                from graphsage_tpu.models.graphsage import (
+                    sage_decay_weights,
+                )
+
+                D = jax.lax.axis_size(axis_name)
+                loss = loss + unsup_config.weight_decay * sum(
+                    0.5 * jnp.sum(w * w)
+                    for w in sage_decay_weights(params, config)
+                ) / D
             aff = prediction.affinity(o1, o2)
             neg_aff = prediction.neg_cost(o1, neg)
             _, mrr = prediction.mrr_and_ranks(aff, neg_aff, mask)
@@ -702,6 +722,14 @@ def make_sharded_unsupervised_step(
             neg_sample_weights=unsup_config.neg_sample_weights,
         )
         loss = raw / global_mask_sum
+        if unsup_config.weight_decay > 0.0:
+            from graphsage_tpu.models.graphsage import sage_decay_weights
+
+            D = jax.lax.axis_size(axis_name)
+            loss = loss + unsup_config.weight_decay * sum(
+                0.5 * jnp.sum(w * w)
+                for w in sage_decay_weights(params, config)
+            ) / D
         aff = prediction.affinity(out1, out2)
         neg_aff = prediction.neg_cost(out1, neg)
         _, mrr = prediction.mrr_and_ranks(aff, neg_aff, mask)

@@ -357,7 +357,6 @@ def _train_sharded(flags: TrainFlags, graph) -> dict:
 
     from graphsage_tpu.parallel.graph_sharded import (
         make_sharded_supervised_eval,
-        make_sharded_supervised_step,
         shard_rows,
     )
 
@@ -504,6 +503,8 @@ def _train_sharded(flags: TrainFlags, graph) -> dict:
                     train_f1_mic=f1_mic, val_loss=val_cost,
                     val_f1_mic=val_f1_mic,
                 )
+                if flags.log_histograms:
+                    logger.log_histograms(total_steps - 1, params)
             if total_steps > flags.max_total_steps:
                 stop = True
                 break

@@ -428,7 +428,6 @@ def _train_sharded(flags: TrainFlags, graph, deg, batcher: EdgeBatcher,
     from graphsage_tpu.parallel.graph_sharded import (
         make_sharded_unsup_embed,
         make_sharded_unsupervised_eval,
-        make_sharded_unsupervised_step,
         shard_rows,
     )
 

@@ -190,6 +190,64 @@ def test_sharded_identity_embeds_match_single_device(mesh, toy_graph):
     )
 
 
+def test_sharded_chunk_runner_matches_single_device(mesh, toy_graph):
+    """The chunk runner (the path _train_sharded actually uses) matches
+    the single-device loss INCLUDING weight decay under first_k."""
+    from graphsage_tpu.data.adjacency import build_both_adjs
+    from graphsage_tpu.models.graphsage import LayerInfo, SAGEConfig
+    from graphsage_tpu.models.supervised import (
+        SupervisedConfig,
+        init_supervised_params,
+        make_optimizer,
+        supervised_loss,
+    )
+    from graphsage_tpu.parallel.graph_sharded import (
+        make_sharded_supervised_chunk_runner,
+    )
+
+    g = toy_graph
+    adj, _, _ = build_both_adjs(g, max_degree=8)
+    feats = g.padded_features()
+    B = 16
+    sage = SAGEConfig(
+        layers=(LayerInfo(4, 8), LayerInfo(3, 8)),
+        feature_dim=feats.shape[1],
+        aggregator="mean",
+        sampler_mode="first_k",
+        num_nodes=g.num_nodes,
+    )
+    sup = SupervisedConfig(sage=sage, num_classes=g.num_classes,
+                           weight_decay=0.05)
+    params = init_supervised_params(jax.random.key(0), sup)
+    optimizer = make_optimizer(0.01)
+
+    ids = np.arange(B, dtype=np.int32)
+    labels = g.labels[ids]
+    mask = np.ones(B, dtype=np.float32)
+    rng = jax.random.key(7)
+
+    ref_loss, _ = supervised_loss(
+        params, jnp.asarray(feats), jnp.asarray(adj), jnp.asarray(ids),
+        jnp.asarray(labels), jnp.asarray(mask), rng, sup,
+        deterministic=True,
+    )
+
+    feat_sh, _ = shard_rows(feats, D)
+    adj_sh, _ = shard_rows(adj, D)
+    labels_table = jnp.asarray(
+        np.vstack([g.labels, np.zeros((1, g.num_classes), np.float32)])
+    )
+    run = make_sharded_supervised_chunk_runner(
+        sup, optimizer, mesh, B, capacity_factor=8.0,
+    )
+    _, _, loss, preds, last_ids = run(
+        params, optimizer.init(params), rng, jnp.asarray(feat_sh),
+        jnp.asarray(adj_sh), jnp.asarray(ids), labels_table, 0, 1,
+    )
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(last_ids), ids)
+
+
 def test_graph_shards_trainer_end_to_end(tmp_path, toy_graph):
     """--graph_shards path: the full supervised trainer over the 8-device
     CPU mesh trains and writes the stats contract."""
