@@ -71,11 +71,14 @@ class NodeBatcher:
     def test_batches(self):
         yield from self._batches_of(self.test_nodes)
 
-    def sample_val_batch(self, size: int) -> NodeBatch:
+    def sample_val_batch(self, size: int, pad_to: int | None = None
+                         ) -> NodeBatch:
         """Random with-replacement val sample (reference evaluate() path,
-        minibatch.py:276-285)."""
+        minibatch.py:276-285). ``pad_to`` dummy-pads the batch beyond
+        ``size`` (e.g. up to a multiple of the shard count) — padded rows
+        carry zero mask, so metrics are unchanged."""
         nodes = self._rng.choice(self.val_nodes, size=size, replace=True)
-        return self._make_batch(nodes, size)
+        return self._make_batch(nodes, max(size, pad_to or 0))
 
     def all_node_batches(self):
         yield from self._batches_of(np.arange(self.graph.num_nodes))

@@ -77,13 +77,21 @@ class TrainFlags:
 
     def log_dir(self, task: str) -> str:
         """Reference layout: <base>/<sup|unsup>-<data>/<model>_<size>_<lr>/
-        (supervised_train.py:81-89, unsupervised_train.py:61-69)."""
-        name = os.path.basename(self.train_prefix.rstrip("/"))
-        sub = "sup" if task == "supervised" else "unsup"
+        with the dataset name taken from the prefix's PARENT directory
+        (``train_prefix.split("/")[-2]``, supervised_train.py:82,
+        unsupervised_train.py:61) and the lr formatted 0.4f (sup) vs 0.6f
+        (unsup) as in the reference."""
+        parts = self.train_prefix.split("/")
+        name = parts[-2] if len(parts) >= 2 else parts[-1]
+        sub, lr_fmt = (
+            ("sup", "{:0.4f}") if task == "supervised"
+            else ("unsup", "{:0.6f}")
+        )
         d = os.path.join(
             self.base_log_dir,
             f"{sub}-{name}",
-            f"{self.model:s}_{self.model_size:s}_{self.learning_rate:0.4f}",
+            f"{self.model:s}_{self.model_size:s}_"
+            + lr_fmt.format(self.learning_rate),
         )
         os.makedirs(d, exist_ok=True)
         return d

@@ -216,6 +216,7 @@ def train(flags: TrainFlags, graph=None) -> dict:
 
     logger = ScalarLogger(log_dir)
     avg_time = 0.0
+    timed_steps = 0  # steps timed in THIS process (excludes resumed steps)
     val_cost = val_f1_mic = val_f1_mac = 0.0
     stop = False
 
@@ -257,9 +258,10 @@ def train(flags: TrainFlags, graph=None) -> dict:
 
             it += n
             total_steps += n
+            timed_steps += n
             avg_time = (
-                avg_time * (total_steps - n) + time.time() - t
-            ) / total_steps
+                avg_time * (timed_steps - n) + time.time() - t
+            ) / timed_steps
 
             # Host fetches only at chunk boundaries: each fetch is a full
             # tunnel round-trip (~40ms on remoted TPUs).
@@ -467,11 +469,12 @@ def _train_sharded(flags: TrainFlags, graph) -> dict:
                 ids_perm, labels_table_dev, it, n,
             )
             if (it + n - 1) % flags.validate_iter < n:
-                vb = batcher.sample_val_batch(
-                    max(flags.validate_batch_size, 1)
-                    if flags.validate_batch_size != -1
-                    else flags.batch_size
-                )
+                vbs = (max(flags.validate_batch_size, 1)
+                       if flags.validate_batch_size != -1
+                       else flags.batch_size)
+                # shard_map splits the batch over the graph axis: pad to a
+                # multiple of D (padded rows carry zero mask)
+                vb = batcher.sample_val_batch(vbs, pad_to=-(-vbs // D) * D)
                 vloss, vpred = eval_step(
                     params, feat_sh, full_adj_sh, jnp.asarray(vb.ids),
                     jnp.asarray(vb.labels), jnp.asarray(vb.mask), eval_key,

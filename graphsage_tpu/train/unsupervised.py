@@ -83,6 +83,49 @@ def make_unsup_eval_step(config: UnsupervisedConfig):
     return jax.jit(eval_step)
 
 
+def make_unsup_eval_sweep(config: UnsupervisedConfig, batch_size: int,
+                          num_nodes: int):
+    """Full val-edge-set evaluation in ONE dispatch (the reference's
+    validate_batch_size=-1 / ``val_feed_dict(size=None)`` semantics,
+    unsupervised_train.py:72-77, minibatch.py:137-144): fori_loop over a
+    device-resident dummy-padded pair stream; returns the edge-weighted
+    mean (loss, mrr) over every real pair.
+    """
+
+    def sweep(params, features, adj, pairs_all, neg_cdf, rng):
+        n_b = pairs_all.shape[0] // batch_size
+
+        def body(i, acc):
+            loss_sum, mrr_sum, cnt = acc
+            pair = jax.lax.dynamic_slice(
+                pairs_all, (i * batch_size, 0), (batch_size, 2)
+            )
+            b1, b2 = pair[:, 0], pair[:, 1]
+            mask = (b1 != num_nodes).astype(jnp.float32)
+            loss, aux = unsupervised_loss(
+                params, features, adj, b1, b2, mask, neg_cdf, rng, config,
+                deterministic=True,
+            )
+            k = jnp.sum(mask)
+            return (loss_sum + loss * k, mrr_sum + aux["mrr"] * k, cnt + k)
+
+        loss_sum, mrr_sum, cnt = jax.lax.fori_loop(
+            0, n_b, body, (jnp.zeros(()), jnp.zeros(()), jnp.zeros(()))
+        )
+        cnt = jnp.maximum(cnt, 1.0)
+        return loss_sum / cnt, mrr_sum / cnt
+
+    return jax.jit(sweep)
+
+
+def pad_pairs(pairs: np.ndarray, batch_size: int, dummy: int) -> np.ndarray:
+    """Dummy-pad an [E, 2] pair array to a multiple of batch_size."""
+    n_b = max(1, -(-len(pairs) // batch_size))
+    out = np.full((n_b * batch_size, 2), dummy, dtype=np.int32)
+    out[: len(pairs)] = pairs
+    return out
+
+
 def save_val_embeddings(embed_fn, batcher, graph, out_dir: str, mod=""):
     """Export one embedding row per node to val<mod>.npy + val<mod>.txt
     (original node ids), reference unsupervised_train.py:94-117."""
@@ -177,6 +220,12 @@ def train(flags: TrainFlags, graph=None) -> dict:
     eval_step = make_unsup_eval_step(config)
     embed_step = make_embed_step(config)
     eval_key = jax.random.key(flags.seed + 1)
+    full_val = flags.validate_batch_size <= 0
+    if full_val:
+        eval_sweep = make_unsup_eval_sweep(config, B, dummy)
+        val_pairs_dev = jnp.asarray(
+            pad_pairs(batcher.val_pairs, B, dummy)
+        )
 
     total_steps = 0
     if flags.checkpoint_dir and flags.resume:
@@ -192,6 +241,7 @@ def train(flags: TrainFlags, graph=None) -> dict:
     shadow_mrr = None
     val_cost = val_mrr = 0.0
     avg_time = 0.0
+    timed_steps = 0  # steps timed in THIS process (excludes resumed steps)
     stop = False
 
     if flags.profile_dir:
@@ -217,22 +267,33 @@ def train(flags: TrainFlags, graph=None) -> dict:
 
             # validate when [it, it+n) crosses a multiple of validate_iter
             if (it + n - 1) % flags.validate_iter < n:
-                vb = batcher.sample_val_batch(flags.validate_batch_size)
-                val_cost, val_mrr = eval_step(
-                    params, features, full_adj,
-                    jnp.asarray(vb.batch1), jnp.asarray(vb.batch2),
-                    jnp.asarray(vb.mask), neg_cdf, eval_key,
-                )
+                if full_val:
+                    val_cost, val_mrr = eval_sweep(
+                        params, features, full_adj, val_pairs_dev,
+                        neg_cdf, eval_key,
+                    )
+                else:
+                    vb = batcher.sample_val_batch(flags.validate_batch_size)
+                    val_cost, val_mrr = eval_step(
+                        params, features, full_adj,
+                        jnp.asarray(vb.batch1), jnp.asarray(vb.batch2),
+                        jnp.asarray(vb.mask), neg_cdf, eval_key,
+                    )
             if shadow_mrr is None:
                 shadow_mrr = val_mrr
             else:
-                shadow_mrr -= (1 - 0.99) * (shadow_mrr - val_mrr)
+                # The reference applies the 0.99 EMA EVERY step with the
+                # (possibly stale) val_mrr (unsupervised_train.py:284-291);
+                # a chunk of n steps at constant val_mrr telescopes to one
+                # 0.99**n decay toward it.
+                shadow_mrr = val_mrr + (shadow_mrr - val_mrr) * 0.99 ** n
 
             it += n
             total_steps += n
+            timed_steps += n
             avg_time = (
-                avg_time * (total_steps - n) + time.time() - t
-            ) / total_steps
+                avg_time * (timed_steps - n) + time.time() - t
+            ) / timed_steps
 
             if (total_steps - 1) % flags.print_every < n:
                 scal = {
@@ -390,9 +451,12 @@ def _train_n2v(flags: TrainFlags, graph, deg, batcher: EdgeBatcher,
             np.flatnonzero(graph.is_val | graph.is_test),
             rng=np.random.default_rng(flags.seed),
         )
+        # fixed_n2v=True matches the reference retrain iterator
+        # (unsupervised_train.py:351): context nodes restricted to
+        # existing train nodes so frozen rows provide the signal.
         retrain_batcher = EdgeBatcher(
             graph, deg, flags.batch_size, context_pairs=pairs,
-            seed=flags.seed, n2v_retrain=True, fixed_n2v=False,
+            seed=flags.seed, n2v_retrain=True, fixed_n2v=True,
         )
         update_mask = np.zeros((graph.num_nodes + 1,), dtype=np.float32)
         evalnodes = np.flatnonzero(graph.is_val | graph.is_test)

@@ -204,10 +204,16 @@ def test_cli_parser_defaults():
 
 
 def test_dataclass_flags_roundtrip():
-    f = TrainFlags(train_prefix="/tmp/x/reddit")
+    # dataset name comes from the prefix's PARENT directory
+    # (reference supervised_train.py:82 split("/")[-2])
+    f = TrainFlags(train_prefix="/tmp/reddit/reddit")
     d = f.log_dir("supervised")
     assert d.endswith("graphsage_mean_small_0.0100")
     assert "sup-reddit" in d
+    # unsupervised uses a 0.6f lr format (unsupervised_train.py:62)
+    du = f.log_dir("unsupervised")
+    assert du.endswith("graphsage_mean_small_0.010000")
+    assert "unsup-reddit" in du
     f2 = dataclasses.replace(f, model="gcn")
     assert f2.model == "gcn"
 
@@ -235,6 +241,58 @@ def test_full_incremental_validation(tmp_path, graph):
     assert np.isfinite(result["val_loss"])
 
 
+def test_n2v_retrain_prunes_eval_contexts(graph):
+    """The n2v retrain iterator must drop pairs whose CONTEXT endpoint is
+    a val/test node (reference fixed_n2v=True, unsupervised_train.py:351,
+    minibatch.py:56-58)."""
+    from graphsage_tpu.data.adjacency import build_both_adjs
+    from graphsage_tpu.data.minibatch import EdgeBatcher
+
+    _, deg, _ = build_both_adjs(graph, 8, seed=0)
+    is_eval = graph.is_val | graph.is_test
+    evalnodes = np.flatnonzero(is_eval)
+    # pairs: eval source -> mixed contexts (some eval, some train)
+    trainnodes = np.flatnonzero(~is_eval)
+    pairs = np.stack([
+        np.repeat(evalnodes[:4], 2),
+        np.concatenate([evalnodes[:4], trainnodes[:4]]),
+    ], axis=1).astype(np.int32)
+    b = EdgeBatcher(graph, deg, 4, context_pairs=pairs, seed=0,
+                    n2v_retrain=True, fixed_n2v=True)
+    assert len(b.train_pairs) == 4
+    assert not is_eval[b.train_pairs[:, 1]].any()
+    # without fixed_n2v all pairs survive
+    b2 = EdgeBatcher(graph, deg, 4, context_pairs=pairs, seed=0,
+                     n2v_retrain=True, fixed_n2v=False)
+    assert len(b2.train_pairs) == 8
+
+
+def test_unsupervised_full_set_validation(tmp_path, graph):
+    """validate_batch_size=-1 -> device-resident sweep over ALL val edges
+    (reference val_feed_dict(size=None), minibatch.py:137-144)."""
+    from graphsage_tpu.train.unsupervised import train
+
+    flags = tiny_flags(
+        tmp_path, epochs=1, max_total_steps=6, random_context=False,
+        save_embeddings=False, validate_batch_size=-1, validate_iter=2,
+    )
+    result = train(flags, graph=graph)
+    assert np.isfinite(result["val_loss"])
+    assert 0.0 <= result["val_mrr"] <= 1.0
+
+
+def test_sample_val_batch_pad_to(graph):
+    from graphsage_tpu.data.adjacency import build_both_adjs
+    from graphsage_tpu.data.minibatch import NodeBatcher
+
+    _, deg, _ = build_both_adjs(graph, 8, seed=0)
+    b = NodeBatcher(graph, deg, 16, seed=0)
+    vb = b.sample_val_batch(5, pad_to=8)
+    assert vb.ids.shape == (8,)
+    assert vb.mask.sum() == 5
+    assert (vb.ids[5:] == graph.num_nodes).all()
+
+
 def test_log_histograms_flag(tmp_path, graph):
     """--log_histograms writes TB event files with histogram data."""
     import glob
@@ -245,6 +303,6 @@ def test_log_histograms_flag(tmp_path, graph):
                        print_every=1, log_histograms=True)
     train(flags, graph=graph)
     events = glob.glob(
-        str(tmp_path) + "/sup-synth/*/events.out.tfevents*"
+        str(tmp_path) + "/sup-*/*/events.out.tfevents*"
     )
     assert events, "tensorboard event file not written"
