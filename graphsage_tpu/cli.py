@@ -66,6 +66,15 @@ def _add_common(p: argparse.ArgumentParser, defaults: TrainFlags):
     p.add_argument("--graph_shards", type=int, default=d.graph_shards,
                    help="row-shard feature/adjacency tables across N "
                         "devices with all-to-all halo exchange (supervised)")
+    p.add_argument("--data_shards", type=int, default=d.data_shards,
+                   help="pure data parallelism: replicate tables, split "
+                        "the batch over N devices, psum grads")
+    p.add_argument("--capacity_factor", type=float,
+                   default=d.capacity_factor,
+                   help="--graph_shards per-destination all-to-all request "
+                        "budget as a multiple of the balanced share; 0 "
+                        "auto-sizes from the adjacency's shard-ownership "
+                        "skew (overflowed requests are counted and warned)")
     p.add_argument("--seed", type=int, default=d.seed)
     p.add_argument("--checkpoint_dir", default=d.checkpoint_dir)
     p.add_argument("--checkpoint_every", type=int, default=d.checkpoint_every)

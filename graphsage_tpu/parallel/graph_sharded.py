@@ -54,7 +54,8 @@ def shard_rows(table, n_shards: int):
     return table, shard_size
 
 
-def exchange_gather(local, idx, axis_name: str, capacity: int):
+def exchange_gather(local, idx, axis_name: str, capacity: int,
+                    return_dropped: bool = False):
     """Gather global rows from a row-sharded table via all-to-all.
 
     Args:
@@ -63,8 +64,11 @@ def exchange_gather(local, idx, axis_name: str, capacity: int):
       capacity: static per-destination request budget. Requests beyond it
         are dropped and return zero rows — size it to the worst case for
         exactness (m covers everything).
+      return_dropped: also return the number of THIS device's requests
+        that overflowed the budget (int32 scalar) so callers can surface
+        silent zero-row corruption instead of hiding it.
 
-    Returns [m, ...] rows.
+    Returns [m, ...] rows (and the dropped count if requested).
     """
     D = jax.lax.axis_size(axis_name)
     shard_size = local.shape[0]
@@ -101,13 +105,43 @@ def exchange_gather(local, idx, axis_name: str, capacity: int):
         valid.reshape((m,) + (1,) * (gathered.ndim - 1)), gathered, 0
     )
     inv = jnp.argsort(order)
+    if return_dropped:
+        return gathered[inv], jnp.sum((~valid).astype(jnp.int32))
     return gathered[inv]
+
+
+# Frontiers at or below this size use EXACT capacity (= m): the all-to-all
+# send buffer is D*m rows, affordable for small gathers, and overflow
+# becomes structurally impossible there.
+EXACT_CAPACITY_MAX = 4096
 
 
 def _capacity(m: int, n_shards: int, factor: float) -> int:
     """Static per-destination budget: balanced share x safety factor,
-    clipped to m (which is always exact)."""
+    clipped to m (which is always exact). Small frontiers are exact."""
+    if m <= EXACT_CAPACITY_MAX:
+        return m
     return int(min(m, max(1, -(-m // n_shards) * factor)))
+
+
+def suggest_capacity_factor(adj, n_shards: int, margin: float = 1.5
+                            ) -> float:
+    """Auto-size the per-destination safety factor from the adjacency's
+    shard-ownership histogram — the stationary distribution of one-hop
+    frontier requests under uniform batch sampling. ``margin`` covers
+    batch-to-batch fluctuation around that stationary skew; the runtime
+    dropped-request counters (exchange_gather return_dropped) remain the
+    ground truth.
+    """
+    import numpy as np
+
+    adj = np.asarray(adj)
+    n_rows = adj.shape[0]
+    shard_size = -(-n_rows // n_shards)  # matches shard_rows padding
+    counts = np.bincount(adj.ravel() // shard_size, minlength=n_shards)
+    mean = max(counts.mean(), 1.0)
+    factor = float(counts.max()) / mean * margin
+    return float(min(n_shards, max(1.0, factor)))
 
 
 def _embeds_spec_tree(tree, axis_name: str):
@@ -144,9 +178,13 @@ def sharded_sage_embed(
     axis_name: str,
     capacity_factor: float = 4.0,
     deterministic: bool = True,
+    return_stats: bool = False,
 ):
     """sage_embed over row-sharded feat/adj: frontier expansion and all
     feature gathers ride exchange_gather; aggregation is fully local.
+    With ``return_stats`` also returns the total count of this device's
+    gather requests dropped by capacity overflow (zero-row corruption
+    signal — callers psum and surface it).
 
     With ``identity_dim > 0`` the trainable table lives row-sharded in
     ``params["embeds"]`` (local shard per device); its gather runs through
@@ -158,15 +196,17 @@ def sharded_sage_embed(
     fanouts = config.fanouts
     n_layers = len(fanouts)
 
+    dropped = jnp.zeros((), jnp.int32)
     samples = [ids]
     keys = jax.random.split(rng, n_layers + 1)
     for k in range(n_layers):
         t = n_layers - k - 1
         m = samples[k].shape[0]
-        adj_rows = exchange_gather(
+        adj_rows, d = exchange_gather(
             adj_local, samples[k], axis_name,
-            _capacity(m, D, capacity_factor),
+            _capacity(m, D, capacity_factor), return_dropped=True,
         )
+        dropped += d
         nxt = sample_from_rows(
             keys[k], adj_rows, fanouts[t], mode=config.sampler_mode
         )
@@ -177,21 +217,29 @@ def sharded_sage_embed(
         cap = _capacity(s.shape[0], D, capacity_factor)
         parts = []
         if config.identity_dim > 0:
-            parts.append(
-                exchange_gather(params["embeds"], s, axis_name, cap)
+            rows, d = exchange_gather(
+                params["embeds"], s, axis_name, cap, return_dropped=True
             )
+            dropped += d
+            parts.append(rows)
         if feat_local is not None and config.feature_dim > 0:
-            feats = exchange_gather(feat_local, s, axis_name, cap)
+            feats, d = exchange_gather(
+                feat_local, s, axis_name, cap, return_dropped=True
+            )
+            dropped += d
             parts.append(feats[:, : config.feature_dim])
         hidden.append(
             parts[0] if len(parts) == 1
             else jnp.concatenate(parts, axis=1)
         )
-    return aggregate_pyramid(
+    out = aggregate_pyramid(
         params, hidden, ids.shape[0], config,
         rng=None if deterministic else keys[-1],
         deterministic=deterministic,
     )
+    if return_stats:
+        return out, dropped
+    return out
 
 
 def make_sharded_supervised_step(
@@ -224,10 +272,10 @@ def make_sharded_supervised_step(
 
     def local_loss(params, feat_local, adj_local, ids, labels, mask, rng,
                    global_mask_sum):
-        emb = sharded_sage_embed(
+        emb, dropped = sharded_sage_embed(
             params, feat_local, adj_local, ids, rng, config, axis_name,
             capacity_factor,
-            deterministic=config.dropout == 0.0,
+            deterministic=config.dropout == 0.0, return_stats=True,
         )
         emb = l2_normalize(emb, axis=1)
         logits = apply_dense(params["head"], emb, act=None)
@@ -247,23 +295,24 @@ def make_sharded_supervised_step(
             loss = loss + sup_config.weight_decay * sum(
                 0.5 * jnp.sum(w * w) for w in decayed
             ) / D
-        return loss, logits
+        return loss, (logits, dropped)
 
     def step(params, opt_state, rng, feat_local, adj_local, ids, labels,
              mask):
         global_mask_sum = jnp.maximum(
             jax.lax.psum(jnp.sum(mask), axis_name), 1.0
         )
-        (loss, logits), grads = jax.value_and_grad(
+        (loss, (logits, dropped)), grads = jax.value_and_grad(
             local_loss, has_aux=True
         )(params, feat_local, adj_local, ids, labels, mask, rng,
           global_mask_sum)
         loss = jax.lax.psum(loss, axis_name)
+        dropped = jax.lax.psum(dropped, axis_name)
         grads = _psum_except_embeds(grads, axis_name)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         preds = supervised_predict(logits, sup_config)
-        return params, opt_state, loss, preds
+        return params, opt_state, loss, preds, dropped
 
     rep = P()
     sh = P(axis_name)
@@ -280,7 +329,7 @@ def make_sharded_supervised_step(
         step,
         mesh=mesh,
         in_specs=(p_spec, o_spec, rep, sh, sh, sh, sh, sh),
-        out_specs=(p_spec, o_spec, rep, sh),
+        out_specs=(p_spec, o_spec, rep, sh, rep),
         check_rep=False,
     )
     return jax.jit(mapped, donate_argnums=(0, 1))
@@ -304,7 +353,8 @@ def make_sharded_supervised_chunk_runner(
 
     runner(params, opt_state, rng, feat_local, adj_local, ids_perm,
            labels_table, start_step, n_steps)
-    -> (params, opt_state, last_loss, last_preds, last_ids)
+    -> (params, opt_state, last_loss, last_preds, last_ids,
+        dropped_requests)  # total over the chunk, psum'd over shards
 
     ``ids_perm`` is the device-resident padded+shuffled epoch stream
     (global, same on every shard); each step slices its batch and splits
@@ -323,9 +373,10 @@ def make_sharded_supervised_chunk_runner(
 
     def local_loss(params, feat_local, adj_local, ids, labels, mask, rng,
                    global_mask_sum):
-        emb = sharded_sage_embed(
+        emb, dropped = sharded_sage_embed(
             params, feat_local, adj_local, ids, rng, config, axis_name,
             capacity_factor, deterministic=config.dropout == 0.0,
+            return_stats=True,
         )
         emb = l2_normalize(emb, axis=1)
         logits = apply_dense(params["head"], emb, act=None)
@@ -345,7 +396,7 @@ def make_sharded_supervised_chunk_runner(
             loss = loss + sup_config.weight_decay * sum(
                 0.5 * jnp.sum(w * w) for w in decayed
             ) / D
-        return loss, logits
+        return loss, (logits, dropped)
 
     def mapped(params, opt_state, rng, feat_local, adj_local, ids_perm,
                labels_table, start_step, n_steps):
@@ -354,7 +405,7 @@ def make_sharded_supervised_chunk_runner(
         local_b = batch_size // D
 
         def one_step(carry, step_idx):
-            params, opt_state = carry
+            params, opt_state, dropped_tot = carry
             batch_ids = jax.lax.dynamic_slice(
                 ids_perm,
                 (step_idx * batch_size + me * local_b,),
@@ -366,16 +417,18 @@ def make_sharded_supervised_chunk_runner(
                 jax.lax.psum(jnp.sum(mask), axis_name), 1.0
             )
             step_rng = jax.random.fold_in(rng, step_idx)
-            (loss, logits), grads = jax.value_and_grad(
+            (loss, (logits, dropped)), grads = jax.value_and_grad(
                 local_loss, has_aux=True
             )(params, feat_local, adj_local, batch_ids, labels, mask,
               step_rng, global_mask_sum)
             loss = jax.lax.psum(loss, axis_name)
+            dropped_tot += jax.lax.psum(dropped, axis_name)
             grads = _psum_except_embeds(grads, axis_name)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             preds = supervised_predict(logits, sup_config)
-            return (params, opt_state), (loss, preds, batch_ids)
+            return (params, opt_state, dropped_tot), (loss, preds,
+                                                      batch_ids)
 
         def body(j, state):
             carry, _ = state
@@ -386,10 +439,12 @@ def make_sharded_supervised_chunk_runner(
             jnp.zeros((local_b, sup_config.num_classes)),
             jnp.zeros((local_b,), ids_perm.dtype),
         )
-        (params, opt_state), (loss, preds, ids) = jax.lax.fori_loop(
-            0, n_steps, body, ((params, opt_state), dummy_out)
+        init_carry = (params, opt_state, jnp.zeros((), jnp.int32))
+        ((params, opt_state, dropped_tot),
+         (loss, preds, ids)) = jax.lax.fori_loop(
+            0, n_steps, body, (init_carry, dummy_out)
         )
-        return params, opt_state, loss, preds, ids
+        return params, opt_state, loss, preds, ids, dropped_tot
 
     rep = P()
     sh = P(axis_name)
@@ -404,7 +459,7 @@ def make_sharded_supervised_chunk_runner(
             mapped,
             mesh=mesh,
             in_specs=(p_spec, o_spec, rep, sh, sh, rep, rep, rep, rep),
-            out_specs=(p_spec, o_spec, rep, sh, sh),
+            out_specs=(p_spec, o_spec, rep, sh, sh, rep),
             check_rep=False,
         ),
         donate_argnums=(0, 1),
@@ -432,9 +487,9 @@ def make_sharded_supervised_eval(
     config = sup_config.sage
 
     def eval_fn(params, feat_local, adj_local, ids, labels, mask, rng):
-        emb = sharded_sage_embed(
+        emb, dropped = sharded_sage_embed(
             params, feat_local, adj_local, ids, rng, config, axis_name,
-            capacity_factor, deterministic=True,
+            capacity_factor, deterministic=True, return_stats=True,
         )
         emb = l2_normalize(emb, axis=1)
         logits = apply_dense(params["head"], emb, act=None)
@@ -444,7 +499,8 @@ def make_sharded_supervised_eval(
             per_node = _softmax_xent(logits, labels)
         denom = jnp.maximum(jax.lax.psum(jnp.sum(mask), axis_name), 1.0)
         loss = jax.lax.psum(jnp.sum(per_node * mask), axis_name) / denom
-        return loss, supervised_predict(logits, sup_config)
+        return (loss, supervised_predict(logits, sup_config),
+                jax.lax.psum(dropped, axis_name))
 
     rep = P()
     sh = P(axis_name)
@@ -456,7 +512,7 @@ def make_sharded_supervised_eval(
         eval_fn,
         mesh=mesh,
         in_specs=(p_spec, sh, sh, sh, sh, sh, rep),
-        out_specs=(rep, sh),
+        out_specs=(rep, sh, rep),
         check_rep=False,
     ))
 
@@ -477,7 +533,8 @@ def make_sharded_unsupervised_chunk_runner(
 
     runner(params, opt_state, shadow, rng, feat_local, adj_local,
            pairs_perm [P,2], neg_cdf, start_step, n_steps)
-    -> (params, opt_state, shadow, last_loss, last_mrr)
+    -> (params, opt_state, shadow, last_loss, last_mrr,
+        dropped_requests)  # total over the chunk, psum'd over shards
     """
     from graphsage_tpu.models.graphsage import l2_normalize
     from graphsage_tpu.nn import prediction
@@ -500,10 +557,10 @@ def make_sharded_unsupervised_chunk_runner(
                 r_neg, neg_cdf, unsup_config.neg_sample_size
             )
             all_ids = jnp.concatenate([b1, b2, neg_ids])
-            out = sharded_sage_embed(
+            out, dropped = sharded_sage_embed(
                 params, feat_local, adj_local, all_ids, r_fwd, config,
                 axis_name, capacity_factor,
-                deterministic=config.dropout == 0.0,
+                deterministic=config.dropout == 0.0, return_stats=True,
             )
             lb = b1.shape[0]
             o1 = l2_normalize(out[:lb], 1)
@@ -527,10 +584,10 @@ def make_sharded_unsupervised_chunk_runner(
             aff = prediction.affinity(o1, o2)
             neg_aff = prediction.neg_cost(o1, neg)
             _, mrr = prediction.mrr_and_ranks(aff, neg_aff, mask)
-            return loss, mrr
+            return loss, (mrr, dropped)
 
         def one_step(carry, step_idx):
-            params, opt_state, shadow = carry
+            params, opt_state, shadow, dropped_tot = carry
             pair = jax.lax.dynamic_slice(
                 pairs_perm,
                 (step_idx * batch_size + me * local_b, 0),
@@ -542,10 +599,11 @@ def make_sharded_unsupervised_chunk_runner(
                 jax.lax.psum(jnp.sum(mask), axis_name), 1.0
             )
             step_rng = jax.random.fold_in(rng, step_idx)
-            (loss, mrr), grads = jax.value_and_grad(
+            (loss, (mrr, dropped)), grads = jax.value_and_grad(
                 local_loss, has_aux=True
             )(params, b1, b2, mask, step_rng, global_mask_sum)
             loss = jax.lax.psum(loss, axis_name)
+            dropped_tot += jax.lax.psum(dropped, axis_name)
             mrr = jax.lax.pmean(mrr, axis_name)
             grads = _psum_except_embeds(grads, axis_name)
             updates, opt_state = optimizer.update(grads, opt_state, params)
@@ -553,18 +611,17 @@ def make_sharded_unsupervised_chunk_runner(
             shadow = jnp.where(
                 shadow < 0, mrr, shadow - (1 - 0.99) * (shadow - mrr)
             )
-            return (params, opt_state, shadow), (loss, mrr)
+            return (params, opt_state, shadow, dropped_tot), (loss, mrr)
 
         def body(j, state):
             carry, _ = state
             return one_step(carry, start_step + j)
 
-        init = ((params, opt_state, shadow),
+        init = ((params, opt_state, shadow, jnp.zeros((), jnp.int32)),
                 (jnp.zeros(()), jnp.zeros(())))
-        (params, opt_state, shadow), (loss, mrr) = jax.lax.fori_loop(
-            0, n_steps, body, init
-        )
-        return params, opt_state, shadow, loss, mrr
+        ((params, opt_state, shadow, dropped_tot),
+         (loss, mrr)) = jax.lax.fori_loop(0, n_steps, body, init)
+        return params, opt_state, shadow, loss, mrr, dropped_tot
 
     rep = P()
     sh = P(axis_name)
@@ -580,7 +637,7 @@ def make_sharded_unsupervised_chunk_runner(
             mesh=mesh,
             in_specs=(p_spec, o_spec, rep, rep, sh, sh, rep, rep, rep,
                       rep),
-            out_specs=(p_spec, o_spec, rep, rep, rep),
+            out_specs=(p_spec, o_spec, rep, rep, rep, rep),
             check_rep=False,
         ),
         donate_argnums=(0, 1),
@@ -601,11 +658,11 @@ def make_sharded_unsup_embed(
     config = unsup_config.sage
 
     def embed_fn(params, feat_local, adj_local, ids, rng):
-        out = sharded_sage_embed(
+        out, dropped = sharded_sage_embed(
             params, feat_local, adj_local, ids, rng, config, axis_name,
-            capacity_factor, deterministic=True,
+            capacity_factor, deterministic=True, return_stats=True,
         )
-        return l2_normalize(out, 1)
+        return l2_normalize(out, 1), jax.lax.psum(dropped, axis_name)
 
     rep = P()
     sh = P(axis_name)
@@ -617,7 +674,7 @@ def make_sharded_unsup_embed(
         embed_fn,
         mesh=mesh,
         in_specs=(p_spec, sh, sh, sh, rep),
-        out_specs=sh,
+        out_specs=(sh, rep),
         check_rep=False,
     ))
 
@@ -647,10 +704,15 @@ def make_sharded_unsupervised_eval(
             params=params, feat_local=feat_local, adj_local=adj_local,
             config=config, axis_name=axis_name,
             capacity_factor=capacity_factor, deterministic=True,
+            return_stats=True,
         )
-        out1 = l2_normalize(embed(ids=b1, rng=r1), 1)
-        out2 = l2_normalize(embed(ids=b2, rng=r2), 1)
-        neg = l2_normalize(embed(ids=neg_ids, rng=r3), 1)
+        e1, d1 = embed(ids=b1, rng=r1)
+        e2, d2 = embed(ids=b2, rng=r2)
+        en, d3 = embed(ids=neg_ids, rng=r3)
+        out1, out2, neg = (
+            l2_normalize(e1, 1), l2_normalize(e2, 1), l2_normalize(en, 1)
+        )
+        dropped = jax.lax.psum(d1 + d2 + d3, axis_name)
         raw = prediction.edge_pred_loss(
             out1, out2, neg, loss_fn=unsup_config.loss_fn, mask=mask,
             neg_sample_weights=unsup_config.neg_sample_weights,
@@ -660,7 +722,7 @@ def make_sharded_unsupervised_eval(
         aff = prediction.affinity(out1, out2)
         neg_aff = prediction.neg_cost(out1, neg)
         _, mrr = prediction.mrr_and_ranks(aff, neg_aff, mask)
-        return loss, jax.lax.pmean(mrr, axis_name)
+        return loss, jax.lax.pmean(mrr, axis_name), dropped
 
     rep = P()
     sh = P(axis_name)
@@ -672,7 +734,7 @@ def make_sharded_unsupervised_eval(
         eval_fn,
         mesh=mesh,
         in_specs=(p_spec, sh, sh, sh, sh, sh, rep, rep),
-        out_specs=(rep, rep),
+        out_specs=(rep, rep, rep),
         check_rep=False,
     ))
 
@@ -711,11 +773,15 @@ def make_sharded_unsupervised_step(
             params=params, feat_local=feat_local, adj_local=adj_local,
             config=config, axis_name=axis_name,
             capacity_factor=capacity_factor,
-            deterministic=config.dropout == 0.0,
+            deterministic=config.dropout == 0.0, return_stats=True,
         )
-        out1 = l2_normalize(embed(ids=b1, rng=r1), 1)
-        out2 = l2_normalize(embed(ids=b2, rng=r2), 1)
-        neg = l2_normalize(embed(ids=neg_ids, rng=r3), 1)
+        e1, d1 = embed(ids=b1, rng=r1)
+        e2, d2 = embed(ids=b2, rng=r2)
+        en, d3 = embed(ids=neg_ids, rng=r3)
+        out1, out2, neg = (
+            l2_normalize(e1, 1), l2_normalize(e2, 1), l2_normalize(en, 1)
+        )
+        dropped = d1 + d2 + d3
         raw = prediction.edge_pred_loss(
             out1, out2, neg,
             loss_fn=unsup_config.loss_fn, mask=mask,
@@ -733,23 +799,24 @@ def make_sharded_unsupervised_step(
         aff = prediction.affinity(out1, out2)
         neg_aff = prediction.neg_cost(out1, neg)
         _, mrr = prediction.mrr_and_ranks(aff, neg_aff, mask)
-        return loss, (mrr, out1)
+        return loss, (mrr, out1, dropped)
 
     def step(params, opt_state, rng, feat_local, adj_local, b1, b2, mask,
              neg_cdf):
         global_mask_sum = jnp.maximum(
             jax.lax.psum(jnp.sum(mask), axis_name), 1.0
         )
-        (loss, (mrr, out1)), grads = jax.value_and_grad(
+        (loss, (mrr, out1, dropped)), grads = jax.value_and_grad(
             local_loss, has_aux=True
         )(params, feat_local, adj_local, b1, b2, mask, neg_cdf, rng,
           global_mask_sum)
         loss = jax.lax.psum(loss, axis_name)
+        dropped = jax.lax.psum(dropped, axis_name)
         grads = _psum_except_embeds(grads, axis_name)
         mrr = jax.lax.pmean(mrr, axis_name)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return params, opt_state, loss, mrr, out1
+        return params, opt_state, loss, mrr, out1, dropped
 
     rep = P()
     sh = P(axis_name)
@@ -763,7 +830,266 @@ def make_sharded_unsupervised_step(
         step,
         mesh=mesh,
         in_specs=(p_spec, o_spec, rep, sh, sh, sh, sh, sh, rep),
-        out_specs=(p_spec, o_spec, rep, rep, sh),
+        out_specs=(p_spec, o_spec, rep, rep, sh, rep),
         check_rep=False,
     )
     return jax.jit(mapped, donate_argnums=(0, 1))
+
+# ------------------------------------------------- device-resident sweeps
+
+
+def reassemble_sharded_rows(arr, n_shards: int, n_batches: int):
+    """Reorder a P(axis)-concatenated per-shard sweep output (shard-major
+    [D * n_b * local_rows, ...]) into the global step-major row order the
+    id stream used ([n_b * D * local_rows, ...])."""
+    import numpy as np
+
+    arr = np.asarray(arr)
+    local = arr.shape[0] // (n_shards * n_batches)
+    shaped = arr.reshape((n_shards, n_batches, local) + arr.shape[1:])
+    return np.ascontiguousarray(shaped.swapaxes(0, 1)).reshape(
+        (n_batches * n_shards * local,) + arr.shape[1:]
+    )
+
+
+def make_sharded_supervised_eval_sweep(
+    sup_config,
+    mesh,
+    batch_size: int,
+    axis_name: str = "graph",
+    capacity_factor: float = 4.0,
+    params_like=None,
+):
+    """Whole val/test sweep in ONE dispatch on the graph-sharded path:
+    fori_loop over a replicated dummy-padded id stream; each shard
+    evaluates its batch split per step (counterpart of
+    train/supervised.make_eval_sweep, reference incremental_evaluate at
+    supervised_train.py:91-110).
+
+    sweep(params, feat_local, adj_local, ids_all, labels_table, rng)
+    -> (losses [n_b], preds [D*n_b*local_b, C] shard-major (reassemble
+        with reassemble_sharded_rows), dropped)
+    """
+    from graphsage_tpu.models.graphsage import l2_normalize
+    from graphsage_tpu.models.supervised import (
+        _sigmoid_xent,
+        _softmax_xent,
+        supervised_predict,
+    )
+    from graphsage_tpu.nn.dense import apply_dense
+
+    config = sup_config.sage
+    num_nodes = config.num_nodes
+
+    def mapped(params, feat_local, adj_local, ids_all, labels_table, rng):
+        D = jax.lax.axis_size(axis_name)
+        me = jax.lax.axis_index(axis_name)
+        local_b = batch_size // D
+        n_b = ids_all.shape[0] // batch_size
+
+        def body(i, acc):
+            losses, preds, dropped_tot = acc
+            ids = jax.lax.dynamic_slice(
+                ids_all, (i * batch_size + me * local_b,), (local_b,)
+            )
+            labels = jnp.take(labels_table, ids, axis=0)
+            mask = (ids != num_nodes).astype(jnp.float32)
+            emb, dropped = sharded_sage_embed(
+                params, feat_local, adj_local, ids, rng, config,
+                axis_name, capacity_factor, deterministic=True,
+                return_stats=True,
+            )
+            emb = l2_normalize(emb, axis=1)
+            logits = apply_dense(params["head"], emb, act=None)
+            if sup_config.sigmoid_loss:
+                per_node = (_sigmoid_xent(logits, labels)
+                            / sup_config.num_classes)
+            else:
+                per_node = _softmax_xent(logits, labels)
+            denom = jnp.maximum(
+                jax.lax.psum(jnp.sum(mask), axis_name), 1.0
+            )
+            loss = jax.lax.psum(jnp.sum(per_node * mask), axis_name) / denom
+            p = supervised_predict(logits, sup_config)
+            return (
+                losses.at[i].set(loss),
+                jax.lax.dynamic_update_slice(preds, p, (i * local_b, 0)),
+                dropped_tot + jax.lax.psum(dropped, axis_name),
+            )
+
+        init = (
+            jnp.zeros((n_b,)),
+            jnp.zeros((n_b * local_b, sup_config.num_classes)),
+            jnp.zeros((), jnp.int32),
+        )
+        return jax.lax.fori_loop(0, n_b, body, init)
+
+    rep = P()
+    sh = P(axis_name)
+    p_spec = (
+        _embeds_spec_tree(params_like, axis_name)
+        if config.identity_dim > 0 and params_like is not None else rep
+    )
+    return jax.jit(shard_map(
+        mapped,
+        mesh=mesh,
+        in_specs=(p_spec, sh, sh, rep, rep, rep),
+        out_specs=(rep, sh, rep),
+        check_rep=False,
+    ))
+
+
+def make_sharded_unsup_eval_sweep(
+    unsup_config,
+    mesh,
+    batch_size: int,
+    axis_name: str = "graph",
+    capacity_factor: float = 4.0,
+    params_like=None,
+):
+    """Full val-edge-set (loss, mrr) on the graph-sharded path in ONE
+    dispatch (validate_batch_size=-1 semantics; see
+    train/unsupervised.make_unsup_eval_sweep).
+
+    sweep(params, feat_local, adj_local, pairs_all [P,2], neg_cdf, rng)
+    -> (loss, mrr, dropped) — edge-weighted means over real pairs.
+    """
+    from graphsage_tpu.models.graphsage import l2_normalize
+    from graphsage_tpu.nn import prediction
+    from graphsage_tpu.nn.negative import sample_negatives
+
+    config = unsup_config.sage
+    num_nodes = config.num_nodes
+
+    def mapped(params, feat_local, adj_local, pairs_all, neg_cdf, rng):
+        D = jax.lax.axis_size(axis_name)
+        me = jax.lax.axis_index(axis_name)
+        local_b = batch_size // D
+        n_b = pairs_all.shape[0] // batch_size
+
+        def body(i, acc):
+            loss_sum, mrr_sum, cnt, dropped_tot = acc
+            pair = jax.lax.dynamic_slice(
+                pairs_all, (i * batch_size + me * local_b, 0),
+                (local_b, 2),
+            )
+            b1, b2 = pair[:, 0], pair[:, 1]
+            mask = (b1 != num_nodes).astype(jnp.float32)
+            r = jax.random.fold_in(rng, i)
+            r_neg, r1, r2, r3 = jax.random.split(
+                jax.random.fold_in(r, me), 4
+            )
+            neg_ids = sample_negatives(r_neg, neg_cdf,
+                                       unsup_config.neg_sample_size)
+            embed = functools.partial(
+                sharded_sage_embed,
+                params=params, feat_local=feat_local,
+                adj_local=adj_local, config=config, axis_name=axis_name,
+                capacity_factor=capacity_factor, deterministic=True,
+                return_stats=True,
+            )
+            e1, d1 = embed(ids=b1, rng=r1)
+            e2, d2 = embed(ids=b2, rng=r2)
+            en, d3 = embed(ids=neg_ids, rng=r3)
+            out1 = l2_normalize(e1, 1)
+            out2 = l2_normalize(e2, 1)
+            neg = l2_normalize(en, 1)
+            raw = prediction.edge_pred_loss(
+                out1, out2, neg, loss_fn=unsup_config.loss_fn, mask=mask,
+                neg_sample_weights=unsup_config.neg_sample_weights,
+            )
+            k = jax.lax.psum(jnp.sum(mask), axis_name)
+            loss = jax.lax.psum(raw, axis_name)
+            aff = prediction.affinity(out1, out2)
+            neg_aff = prediction.neg_cost(out1, neg)
+            _, mrr = prediction.mrr_and_ranks(aff, neg_aff, mask)
+            mrr = jax.lax.pmean(mrr, axis_name)
+            dropped = jax.lax.psum(d1 + d2 + d3, axis_name)
+            return (loss_sum + loss, mrr_sum + mrr * k, cnt + k,
+                    dropped_tot + dropped)
+
+        loss_sum, mrr_sum, cnt, dropped = jax.lax.fori_loop(
+            0, n_b, body,
+            (jnp.zeros(()), jnp.zeros(()), jnp.zeros(()),
+             jnp.zeros((), jnp.int32)),
+        )
+        cnt = jnp.maximum(cnt, 1.0)
+        return loss_sum / cnt, mrr_sum / cnt, dropped
+
+    rep = P()
+    sh = P(axis_name)
+    p_spec = (
+        _embeds_spec_tree(params_like, axis_name)
+        if config.identity_dim > 0 and params_like is not None else rep
+    )
+    return jax.jit(shard_map(
+        mapped,
+        mesh=mesh,
+        in_specs=(p_spec, sh, sh, rep, rep, rep),
+        out_specs=(rep, rep, rep),
+        check_rep=False,
+    ))
+
+
+def make_sharded_embed_sweep(
+    unsup_config,
+    mesh,
+    batch_size: int,
+    axis_name: str = "graph",
+    capacity_factor: float = 4.0,
+    params_like=None,
+):
+    """Whole-graph embedding export in ONE dispatch on the graph-sharded
+    path (counterpart of save_val_embeddings' per-batch loop, reference
+    unsupervised_train.py:94-117).
+
+    sweep(params, feat_local, adj_local, ids_all, rng)
+    -> (embeds [D*n_b*local_b, dim] shard-major (reassemble with
+        reassemble_sharded_rows), dropped)
+    """
+    from graphsage_tpu.models.graphsage import l2_normalize
+
+    config = unsup_config.sage
+
+    def mapped(params, feat_local, adj_local, ids_all, rng):
+        D = jax.lax.axis_size(axis_name)
+        me = jax.lax.axis_index(axis_name)
+        local_b = batch_size // D
+        n_b = ids_all.shape[0] // batch_size
+
+        def body(i, acc):
+            out_buf, dropped_tot = acc
+            ids = jax.lax.dynamic_slice(
+                ids_all, (i * batch_size + me * local_b,), (local_b,)
+            )
+            out, dropped = sharded_sage_embed(
+                params, feat_local, adj_local, ids, rng, config,
+                axis_name, capacity_factor, deterministic=True,
+                return_stats=True,
+            )
+            out = l2_normalize(out, 1)
+            return (
+                jax.lax.dynamic_update_slice(out_buf, out,
+                                             (i * local_b, 0)),
+                dropped_tot + jax.lax.psum(dropped, axis_name),
+            )
+
+        init = (
+            jnp.zeros((n_b * local_b, config.output_dim)),
+            jnp.zeros((), jnp.int32),
+        )
+        return jax.lax.fori_loop(0, n_b, body, init)
+
+    rep = P()
+    sh = P(axis_name)
+    p_spec = (
+        _embeds_spec_tree(params_like, axis_name)
+        if config.identity_dim > 0 and params_like is not None else rep
+    )
+    return jax.jit(shard_map(
+        mapped,
+        mesh=mesh,
+        in_specs=(p_spec, sh, sh, rep, rep),
+        out_specs=(sh, rep),
+        check_rep=False,
+    ))

@@ -67,6 +67,8 @@ class TrainFlags:
     dedup_gather: bool = False  # skip duplicate-sample DMAs (low-degree win)
     feature_dtype: str = "float32"  # "bfloat16" halves gather bandwidth
     graph_shards: int = 1       # row-shard tables over N devices (P2)
+    data_shards: int = 1        # pure data parallelism over N devices (P1)
+    capacity_factor: float = 0.0  # P2 all-to-all budget; 0 = auto-size
     seed: int = 123
     n_model_shards: int = 1     # feature-dim tensor parallelism
     checkpoint_dir: str = ""    # orbax checkpoint root ("" = disabled)

@@ -360,6 +360,7 @@ def _train_sharded(flags: TrainFlags, graph) -> dict:
     from graphsage_tpu.parallel.graph_sharded import (
         make_sharded_supervised_eval,
         shard_rows,
+        suggest_capacity_factor,
     )
 
     D = flags.graph_shards
@@ -385,6 +386,11 @@ def _train_sharded(flags: TrainFlags, graph) -> dict:
         feat_sh = None
     train_adj_sh = jnp.asarray(shard_rows(train_adj_np, D)[0])
     full_adj_sh = jnp.asarray(shard_rows(full_adj_np, D)[0])
+    cap_factor = flags.capacity_factor or suggest_capacity_factor(
+        full_adj_np, D
+    )
+    print(f"graph_shards={D} capacity_factor={cap_factor:.2f}"
+          + (" (auto)" if not flags.capacity_factor else ""))
 
     key = jax.random.key(flags.seed)
     key, init_key = jax.random.split(key)
@@ -402,12 +408,24 @@ def _train_sharded(flags: TrainFlags, graph) -> dict:
 
     run_chunk = make_sharded_supervised_chunk_runner(
         config, optimizer, mesh, flags.batch_size,
+        capacity_factor=cap_factor,
         params_like=params, opt_state_like=opt_state,
     )
     eval_step = make_sharded_supervised_eval(
-        config, mesh, params_like=params
+        config, mesh, capacity_factor=cap_factor, params_like=params
     )
     eval_key = jax.random.key(flags.seed + 1)
+    dropped_total = 0
+
+    def note_dropped(dropped, where: str) -> None:
+        nonlocal dropped_total
+        d = int(dropped)
+        if d > 0:
+            dropped_total += d
+            print(f"WARNING: {where}: {d} gather requests overflowed the "
+                  f"all-to-all capacity and returned ZERO rows "
+                  f"(capacity_factor={cap_factor:.2f}; total dropped "
+                  f"{dropped_total}). Raise --capacity_factor.")
 
     # device-resident epoch stream (global ids; each shard slices its
     # split inside the runner)
@@ -424,28 +442,35 @@ def _train_sharded(flags: TrainFlags, graph) -> dict:
     labels_table[: graph.num_nodes] = graph.labels
     labels_table_dev = jnp.asarray(labels_table)
 
-    if flags.checkpoint_dir and flags.resume:
-        restored = ckpt.restore(flags.checkpoint_dir, params, opt_state)
-        if restored is not None:
-            params, opt_state, _ = restored
-            print("Resumed from checkpoint")
 
-    def run_eval(batches):
+    # Full val/test sweeps in ONE dispatch each (reference
+    # incremental_evaluate, supervised_train.py:91-110): fori_loop inside
+    # shard_map over a replicated padded id stream.
+    from graphsage_tpu.parallel.graph_sharded import (
+        make_sharded_supervised_eval_sweep,
+        reassemble_sharded_rows,
+    )
+
+    eval_sweep = make_sharded_supervised_eval_sweep(
+        config, mesh, flags.batch_size, capacity_factor=cap_factor,
+        params_like=params,
+    )
+
+    def run_eval(nodes):
+        # labels_table_dev (defined below) is bound at call time
         t0 = time.time()
-        losses, preds, labels, ks = [], [], [], []
-        for b in batches:
-            loss, p = eval_step(
-                params, feat_sh, full_adj_sh, jnp.asarray(b.ids),
-                jnp.asarray(b.labels), jnp.asarray(b.mask), eval_key,
-            )
-            losses.append(loss)
-            preds.append(p)
-            ks.append(int(b.mask.sum()))
-            labels.append(b.labels[: ks[-1]])
-        losses = np.asarray(jnp.stack(losses))
-        preds_np = np.asarray(jnp.stack(preds))
-        preds = np.vstack([p[:k] for p, k in zip(preds_np, ks)])
-        return (float(np.mean(losses)), preds, np.vstack(labels),
+        bs = flags.batch_size
+        n_b = max(1, -(-len(nodes) // bs))
+        ids_all = np.full((n_b * bs,), graph.num_nodes, dtype=np.int32)
+        ids_all[: len(nodes)] = nodes
+        losses, preds_sh, dropped = eval_sweep(
+            params, feat_sh, full_adj_sh, jnp.asarray(ids_all),
+            labels_table_dev, eval_key,
+        )
+        note_dropped(dropped, "eval sweep")
+        preds = reassemble_sharded_rows(preds_sh, D, n_b)[: len(nodes)]
+        labels = graph.labels[nodes]
+        return (float(np.mean(np.asarray(losses))), preds, labels,
                 time.time() - t0)
 
     log_dir = flags.log_dir("supervised")
@@ -453,8 +478,17 @@ def _train_sharded(flags: TrainFlags, graph) -> dict:
 
     logger = ScalarLogger(log_dir)
     total_steps = 0
+    if flags.checkpoint_dir and flags.resume:
+        restored = ckpt.restore(flags.checkpoint_dir, params, opt_state)
+        if restored is not None:
+            params, opt_state, total_steps = restored
+            print(f"Resumed from checkpoint at step {total_steps}")
     val_cost = val_f1_mic = val_f1_mac = 0.0
+    avg_time = 0.0
+    timed_steps = 0
     stop = False
+    if flags.profile_dir:
+        jax.profiler.start_trace(flags.profile_dir)
     chunk = max(1, min(flags.print_every, flags.validate_iter))
     for epoch in range(flags.epochs):
         print("Epoch: %04d" % (epoch + 1))
@@ -464,7 +498,8 @@ def _train_sharded(flags: TrainFlags, graph) -> dict:
         while it < steps_per_epoch:
             n = min(chunk, steps_per_epoch - it,
                     max(1, flags.max_total_steps + 1 - total_steps))
-            params, opt_state, loss, preds, last_ids = run_chunk(
+            t = time.time()
+            params, opt_state, loss, preds, last_ids, dropped = run_chunk(
                 params, opt_state, loop_key, feat_sh, train_adj_sh,
                 ids_perm, labels_table_dev, it, n,
             )
@@ -475,10 +510,11 @@ def _train_sharded(flags: TrainFlags, graph) -> dict:
                 # shard_map splits the batch over the graph axis: pad to a
                 # multiple of D (padded rows carry zero mask)
                 vb = batcher.sample_val_batch(vbs, pad_to=-(-vbs // D) * D)
-                vloss, vpred = eval_step(
+                vloss, vpred, vdropped = eval_step(
                     params, feat_sh, full_adj_sh, jnp.asarray(vb.ids),
                     jnp.asarray(vb.labels), jnp.asarray(vb.mask), eval_key,
                 )
+                note_dropped(vdropped, "validation")
                 val_cost = float(vloss)
                 k = int(vb.mask.sum())
                 val_f1_mic, val_f1_mac = calc_f1(
@@ -486,7 +522,12 @@ def _train_sharded(flags: TrainFlags, graph) -> dict:
                 )
             it += n
             total_steps += n
+            timed_steps += n
+            avg_time = (
+                avg_time * (timed_steps - n) + time.time() - t
+            ) / timed_steps
             if (total_steps - 1) % flags.print_every < n:
+                note_dropped(dropped, "train chunk")
                 ids_np = np.asarray(last_ids)
                 keep = ids_np != dummy
                 f1_mic, f1_mac = calc_f1(
@@ -500,22 +541,30 @@ def _train_sharded(flags: TrainFlags, graph) -> dict:
                     "train_f1_mic=", "{:.5f}".format(f1_mic),
                     "val_loss=", "{:.5f}".format(val_cost),
                     "val_f1_mic=", "{:.5f}".format(val_f1_mic),
+                    "time=", "{:.5f}".format(avg_time),
                 )
                 logger.log(
                     total_steps - 1, train_loss=train_loss,
                     train_f1_mic=f1_mic, val_loss=val_cost,
-                    val_f1_mic=val_f1_mic,
+                    val_f1_mic=val_f1_mic, step_time=avg_time,
                 )
                 if flags.log_histograms:
                     logger.log_histograms(total_steps - 1, params)
+            if (flags.checkpoint_dir and flags.checkpoint_every
+                    and total_steps % flags.checkpoint_every < n):
+                ckpt.save(flags.checkpoint_dir, params, opt_state,
+                          total_steps)
             if total_steps > flags.max_total_steps:
                 stop = True
                 break
         if stop:
             break
 
+    if flags.profile_dir:
+        jax.profiler.stop_trace()
+
     print("Optimization Finished!")
-    val_cost, vp, vl, duration = run_eval(batcher.val_batches())
+    val_cost, vp, vl, duration = run_eval(batcher.val_nodes)
     val_f1_mic, val_f1_mac = calc_f1(vl, vp, sigmoid)
     with open(log_dir + "/val_stats.txt", "w") as fp:
         fp.write(
@@ -523,7 +572,7 @@ def _train_sharded(flags: TrainFlags, graph) -> dict:
                 val_cost, val_f1_mic, val_f1_mac, duration
             )
         )
-    test_cost, tp, tl, _ = run_eval(batcher.test_batches())
+    test_cost, tp, tl, _ = run_eval(batcher.test_nodes)
     test_f1_mic, test_f1_mac = calc_f1(tl, tp, sigmoid)
     with open(log_dir + "/test_stats.txt", "w") as fp:
         fp.write(

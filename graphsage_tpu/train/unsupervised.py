@@ -490,9 +490,9 @@ def _train_sharded(flags: TrainFlags, graph, deg, batcher: EdgeBatcher,
 
     from graphsage_tpu.data.adjacency import build_both_adjs
     from graphsage_tpu.parallel.graph_sharded import (
-        make_sharded_unsup_embed,
         make_sharded_unsupervised_eval,
         shard_rows,
+        suggest_capacity_factor,
     )
 
     D = flags.graph_shards
@@ -517,6 +517,22 @@ def _train_sharded(flags: TrainFlags, graph, deg, batcher: EdgeBatcher,
     train_adj_sh = jnp.asarray(shard_rows(train_adj_np, D)[0])
     full_adj_sh = jnp.asarray(shard_rows(full_adj_np, D)[0])
     neg_cdf = jnp.asarray(unigram_cdf(deg))
+    cap_factor = flags.capacity_factor or suggest_capacity_factor(
+        full_adj_np, D
+    )
+    print(f"graph_shards={D} capacity_factor={cap_factor:.2f}"
+          + (" (auto)" if not flags.capacity_factor else ""))
+    dropped_total = 0
+
+    def note_dropped(dropped, where: str) -> None:
+        nonlocal dropped_total
+        d = int(dropped)
+        if d > 0:
+            dropped_total += d
+            print(f"WARNING: {where}: {d} gather requests overflowed the "
+                  f"all-to-all capacity and returned ZERO rows "
+                  f"(capacity_factor={cap_factor:.2f}; total dropped "
+                  f"{dropped_total}). Raise --capacity_factor.")
 
     key = jax.random.key(flags.seed)
     key, init_key = jax.random.split(key)
@@ -534,12 +550,12 @@ def _train_sharded(flags: TrainFlags, graph, deg, batcher: EdgeBatcher,
 
     run_chunk = make_sharded_unsupervised_chunk_runner(
         config, optimizer, mesh, flags.batch_size,
+        capacity_factor=cap_factor,
         params_like=params, opt_state_like=opt_state,
     )
     eval_step = make_sharded_unsupervised_eval(
-        config, mesh, params_like=params
+        config, mesh, capacity_factor=cap_factor, params_like=params
     )
-    embed_step = make_sharded_unsup_embed(config, mesh, params_like=params)
     eval_key = jax.random.key(flags.seed + 1)
 
     # device-resident pair stream (global; shards slice locally)
@@ -551,10 +567,36 @@ def _train_sharded(flags: TrainFlags, graph, deg, batcher: EdgeBatcher,
     pairs_padded[: len(train_pairs)] = train_pairs
     pairs_padded_dev = jnp.asarray(pairs_padded)
 
+    full_val = flags.validate_batch_size <= 0
+    if full_val:
+        from graphsage_tpu.parallel.graph_sharded import (
+            make_sharded_unsup_eval_sweep,
+        )
+
+        eval_sweep = make_sharded_unsup_eval_sweep(
+            config, mesh, B, capacity_factor=cap_factor,
+            params_like=params,
+        )
+        val_pairs_dev = jnp.asarray(pad_pairs(batcher.val_pairs, B, dummy))
+
     total_steps = 0
+    if flags.checkpoint_dir and flags.resume:
+        restored = ckpt.restore(flags.checkpoint_dir, params, opt_state)
+        if restored is not None:
+            params, opt_state, total_steps = restored
+            print(f"Resumed from checkpoint at step {total_steps}")
+
+    from graphsage_tpu.train.tblog import ScalarLogger
+
+    logger = ScalarLogger(log_dir)
     shadow = jnp.asarray(-1.0)
+    shadow_mrr = None
     val_cost = val_mrr = 0.0
+    avg_time = 0.0
+    timed_steps = 0
     stop = False
+    if flags.profile_dir:
+        jax.profiler.start_trace(flags.profile_dir)
     chunk = max(1, min(flags.print_every, flags.validate_iter))
     for epoch in range(flags.epochs):
         print("Epoch: %04d" % (epoch + 1))
@@ -566,28 +608,64 @@ def _train_sharded(flags: TrainFlags, graph, deg, batcher: EdgeBatcher,
         while it < steps_per_epoch:
             n = min(chunk, steps_per_epoch - it,
                     max(1, flags.max_total_steps + 1 - total_steps))
-            params, opt_state, shadow, loss, mrr = run_chunk(
+            t = time.time()
+            params, opt_state, shadow, loss, mrr, dropped = run_chunk(
                 params, opt_state, shadow, loop_key, feat_sh,
                 train_adj_sh, pairs_perm, neg_cdf, it, n,
             )
             if (it + n - 1) % flags.validate_iter < n:
-                vb = batcher.sample_val_batch(flags.validate_batch_size)
-                val_cost, val_mrr = eval_step(
-                    params, feat_sh, full_adj_sh,
-                    jnp.asarray(vb.batch1), jnp.asarray(vb.batch2),
-                    jnp.asarray(vb.mask), neg_cdf, eval_key,
-                )
+                if full_val:
+                    val_cost, val_mrr, vdropped = eval_sweep(
+                        params, feat_sh, full_adj_sh, val_pairs_dev,
+                        neg_cdf, eval_key,
+                    )
+                else:
+                    vb = batcher.sample_val_batch(flags.validate_batch_size)
+                    val_cost, val_mrr, vdropped = eval_step(
+                        params, feat_sh, full_adj_sh,
+                        jnp.asarray(vb.batch1), jnp.asarray(vb.batch2),
+                        jnp.asarray(vb.mask), neg_cdf, eval_key,
+                    )
+                note_dropped(vdropped, "validation")
+            if shadow_mrr is None:
+                shadow_mrr = val_mrr
+            else:
+                # per-step 0.99 EMA telescoped over the n-step chunk
+                shadow_mrr = val_mrr + (shadow_mrr - val_mrr) * 0.99 ** n
             it += n
             total_steps += n
+            timed_steps += n
+            avg_time = (
+                avg_time * (timed_steps - n) + time.time() - t
+            ) / timed_steps
             if (total_steps - 1) % flags.print_every < n:
+                note_dropped(dropped, "train chunk")
+                scal = {
+                    "train_loss": float(loss),
+                    "train_mrr": float(mrr),
+                    "train_mrr_ema": float(shadow),
+                    "val_loss": float(val_cost),
+                    "val_mrr": float(val_mrr),
+                    "val_mrr_ema": float(shadow_mrr),
+                }
                 print(
                     "Iter:", "%04d" % (it - 1),
-                    "train_loss=", "{:.5f}".format(float(loss)),
-                    "train_mrr=", "{:.5f}".format(float(mrr)),
-                    "train_mrr_ema=", "{:.5f}".format(float(shadow)),
-                    "val_loss=", "{:.5f}".format(float(val_cost)),
-                    "val_mrr=", "{:.5f}".format(float(val_mrr)),
+                    "train_loss=", "{:.5f}".format(scal["train_loss"]),
+                    "train_mrr=", "{:.5f}".format(scal["train_mrr"]),
+                    "train_mrr_ema=", "{:.5f}".format(
+                        scal["train_mrr_ema"]),
+                    "val_loss=", "{:.5f}".format(scal["val_loss"]),
+                    "val_mrr=", "{:.5f}".format(scal["val_mrr"]),
+                    "val_mrr_ema=", "{:.5f}".format(scal["val_mrr_ema"]),
+                    "time=", "{:.5f}".format(avg_time),
                 )
+                logger.log(total_steps - 1, step_time=avg_time, **scal)
+                if flags.log_histograms:
+                    logger.log_histograms(total_steps - 1, params)
+            if (flags.checkpoint_dir and flags.checkpoint_every
+                    and total_steps % flags.checkpoint_every < n):
+                ckpt.save(flags.checkpoint_dir, params, opt_state,
+                          total_steps)
             if total_steps > flags.max_total_steps:
                 stop = True
                 break
@@ -595,16 +673,38 @@ def _train_sharded(flags: TrainFlags, graph, deg, batcher: EdgeBatcher,
             break
     train_shadow_mrr = shadow
 
+    if flags.profile_dir:
+        jax.profiler.stop_trace()
+    logger.close()
+
     print("Optimization Finished!")
     if flags.save_embeddings:
-        def embed_fn(batch):
-            key_e = jax.random.key(flags.seed + 2)
-            return embed_step(
-                params, feat_sh, full_adj_sh, jnp.asarray(batch.batch1),
-                key_e,
-            )
+        # whole-graph export in ONE dispatch (fori_loop inside shard_map)
+        from graphsage_tpu.parallel.graph_sharded import (
+            make_sharded_embed_sweep,
+            reassemble_sharded_rows,
+        )
 
-        save_val_embeddings(embed_fn, batcher, graph, log_dir)
+        embed_sweep = make_sharded_embed_sweep(
+            config, mesh, B, capacity_factor=cap_factor,
+            params_like=params,
+        )
+        n_b = max(1, -(-graph.num_nodes // B))
+        ids_all = np.full((n_b * B,), dummy, dtype=np.int32)
+        ids_all[: graph.num_nodes] = np.arange(graph.num_nodes)
+        out_sh, edropped = embed_sweep(
+            params, feat_sh, full_adj_sh, jnp.asarray(ids_all),
+            jax.random.key(flags.seed + 2),
+        )
+        note_dropped(edropped, "embedding export")
+        rows = reassemble_sharded_rows(out_sh, D, n_b)[: graph.num_nodes]
+        os.makedirs(log_dir, exist_ok=True)
+        np.save(os.path.join(log_dir, "val.npy"), rows)
+        with open(os.path.join(log_dir, "val.txt"), "w") as fp:
+            fp.write("\n".join(map(str, graph.node_ids)))
+
+    if flags.checkpoint_dir:
+        ckpt.save(flags.checkpoint_dir, params, opt_state, total_steps)
 
     return {
         "params": params,

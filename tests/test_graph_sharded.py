@@ -61,6 +61,86 @@ def test_exchange_gather_capacity_overflow_zeros(mesh):
     assert (out[3:] == 0.0).all()
 
 
+def test_exchange_gather_reports_dropped(mesh):
+    table = np.arange(16, dtype=np.float32).reshape(16, 1) + 1.0
+    idx = np.zeros(6, dtype=np.int32)  # every request hits shard 0
+
+    f = shard_map(
+        functools.partial(
+            exchange_gather, axis_name="graph", capacity=3,
+            return_dropped=True,
+        ),
+        mesh=mesh,
+        in_specs=(P("graph"), P()),
+        out_specs=(P(), P()),
+        check_rep=False,
+    )
+    local_t, _ = shard_rows(table, D)
+    out, dropped = f(jnp.asarray(local_t), jnp.asarray(idx))
+    # 6 requests, capacity 3 -> 3 dropped on this (replicated) request set
+    assert int(dropped) == 3
+    assert (np.asarray(out)[3:] == 0.0).all()
+
+
+def test_suggest_capacity_factor():
+    from graphsage_tpu.parallel.graph_sharded import (
+        suggest_capacity_factor,
+    )
+
+    rng = np.random.default_rng(0)
+    # uniform ownership -> factor ~= margin
+    adj_u = rng.integers(0, 1000, (1000, 16)).astype(np.int32)
+    f_u = suggest_capacity_factor(adj_u, 8, margin=1.5)
+    assert 1.0 <= f_u <= 2.0
+    # all entries point at shard 0 -> factor saturates at n_shards
+    adj_s = rng.integers(0, 100, (1000, 16)).astype(np.int32)
+    f_s = suggest_capacity_factor(adj_s, 8, margin=1.5)
+    assert f_s == 8.0
+
+
+def test_sharded_step_counts_dropped_on_skew(mesh, toy_graph, monkeypatch):
+    """A skewed batch under a too-small capacity_factor must REPORT its
+    dropped requests instead of silently zero-filling."""
+    import graphsage_tpu.parallel.graph_sharded as gs
+    from graphsage_tpu.data.adjacency import build_both_adjs
+    from graphsage_tpu.models.graphsage import LayerInfo, SAGEConfig
+    from graphsage_tpu.models.supervised import (
+        SupervisedConfig,
+        init_supervised_params,
+        make_optimizer,
+    )
+
+    monkeypatch.setattr(gs, "EXACT_CAPACITY_MAX", 0)  # force budgeted path
+    g = toy_graph
+    adj, _, _ = build_both_adjs(g, max_degree=8)
+    feats = g.padded_features()
+    sage = SAGEConfig(
+        layers=(LayerInfo(4, 8), LayerInfo(3, 8)),
+        feature_dim=feats.shape[1],
+        aggregator="mean",
+        sampler_mode="first_k",
+    )
+    sup = SupervisedConfig(sage=sage, num_classes=g.num_classes)
+    params = init_supervised_params(jax.random.key(0), sup)
+    optimizer = make_optimizer(0.01)
+
+    B = 16
+    ids = np.zeros(B, dtype=np.int32)  # whole batch owned by shard 0
+    labels = g.labels[ids]
+    mask = np.ones(B, dtype=np.float32)
+    feat_sh, _ = shard_rows(feats, D)
+    adj_sh, _ = shard_rows(adj, D)
+    step = gs.make_sharded_supervised_step(sup, optimizer, mesh,
+                                           capacity_factor=1.0)
+    _, _, loss, _, dropped = step(
+        params, optimizer.init(params), jax.random.key(7),
+        jnp.asarray(feat_sh), jnp.asarray(adj_sh), jnp.asarray(ids),
+        jnp.asarray(labels), jnp.asarray(mask),
+    )
+    assert int(dropped) > 0
+    assert np.isfinite(float(loss))
+
+
 def test_sharded_supervised_step_matches_single_device(mesh, toy_graph):
     """With the deterministic first_k sampler the sharded step's loss is
     exactly the single-device loss."""
@@ -108,10 +188,11 @@ def test_sharded_supervised_step_matches_single_device(mesh, toy_graph):
     w_before = np.asarray(params["head"]["w"])  # params donated below
     step = make_sharded_supervised_step(sup, optimizer, mesh,
                                         capacity_factor=8.0)
-    params2, opt_state2, loss, preds = step(
+    params2, opt_state2, loss, preds, dropped = step(
         params, opt_state, rng, jnp.asarray(feat_sh), jnp.asarray(adj_sh),
         jnp.asarray(ids), jnp.asarray(labels), jnp.asarray(mask),
     )
+    assert int(dropped) == 0
     np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
     assert preds.shape == (B, g.num_classes)
     # one optimizer step actually happened
@@ -174,7 +255,7 @@ def test_sharded_identity_embeds_match_single_device(mesh, toy_graph):
         sup, optimizer, mesh, capacity_factor=8.0,
         params_like=params_sh, opt_state_like=opt_sh,
     )
-    p2, _, loss2, _ = step(
+    p2, _, loss2, _, _ = step(
         params_sh, opt_sh, rng, jnp.asarray(feat_sh), jnp.asarray(adj_sh),
         jnp.asarray(ids), jnp.asarray(labels), jnp.asarray(mask),
     )
@@ -240,10 +321,11 @@ def test_sharded_chunk_runner_matches_single_device(mesh, toy_graph):
     run = make_sharded_supervised_chunk_runner(
         sup, optimizer, mesh, B, capacity_factor=8.0,
     )
-    _, _, loss, preds, last_ids = run(
+    _, _, loss, preds, last_ids, dropped = run(
         params, optimizer.init(params), rng, jnp.asarray(feat_sh),
         jnp.asarray(adj_sh), jnp.asarray(ids), labels_table, 0, 1,
     )
+    assert int(dropped) == 0
     np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
     np.testing.assert_array_equal(np.asarray(last_ids), ids)
 
@@ -293,6 +375,25 @@ def test_graph_shards_unsupervised_trainer(tmp_path, toy_graph):
     np.testing.assert_allclose(norms, 1.0, atol=1e-4)
 
 
+def test_graph_shards_unsup_full_val(tmp_path, toy_graph):
+    """--graph_shards + validate_batch_size=-1: the sharded full-val-set
+    sweep runs and yields finite metrics."""
+    from graphsage_tpu.train.config import TrainFlags
+    from graphsage_tpu.train.unsupervised import train
+
+    flags = TrainFlags(
+        train_prefix=str(tmp_path / "synth"),
+        epochs=1, batch_size=16, samples_1=4, samples_2=3,
+        dim_1=8, dim_2=8, max_degree=8, validate_iter=2,
+        validate_batch_size=-1, print_every=1000, max_total_steps=4,
+        base_log_dir=str(tmp_path), graph_shards=D, seed=123,
+        random_context=False, neg_sample_size=4, save_embeddings=False,
+    )
+    result = train(flags, graph=toy_graph)
+    assert np.isfinite(result["val_loss"])
+    assert 0.0 <= result["val_mrr"] <= 1.0
+
+
 def test_sharded_unsupervised_step_runs(mesh, toy_graph):
     from graphsage_tpu.data.adjacency import build_both_adjs
     from graphsage_tpu.models.graphsage import LayerInfo, SAGEConfig
@@ -325,7 +426,7 @@ def test_sharded_unsupervised_step_runs(mesh, toy_graph):
 
     step = make_sharded_unsupervised_step(unsup, optimizer, mesh,
                                           capacity_factor=8.0)
-    params, opt_state, loss, mrr, out1 = step(
+    params, opt_state, loss, mrr, out1, _ = step(
         params, opt_state, jax.random.key(1), jnp.asarray(feat_sh),
         jnp.asarray(adj_sh), jnp.asarray(edges[:, 0]),
         jnp.asarray(edges[:, 1]), jnp.asarray(mask), neg_cdf,
