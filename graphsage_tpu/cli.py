@@ -69,6 +69,10 @@ def _add_common(p: argparse.ArgumentParser, defaults: TrainFlags):
     p.add_argument("--data_shards", type=int, default=d.data_shards,
                    help="pure data parallelism: replicate tables, split "
                         "the batch over N devices, psum grads")
+    p.add_argument("--n_model_shards", type=int, default=d.n_model_shards,
+                   help="feature-dim tensor parallelism over a "
+                        "('data','model') mesh (supervised; composes "
+                        "with --data_shards)")
     p.add_argument("--capacity_factor", type=float,
                    default=d.capacity_factor,
                    help="--graph_shards per-destination all-to-all request "
@@ -76,6 +80,15 @@ def _add_common(p: argparse.ArgumentParser, defaults: TrainFlags):
                         "auto-sizes from the adjacency's shard-ownership "
                         "skew (overflowed requests are counted and warned)")
     p.add_argument("--seed", type=int, default=d.seed)
+    # multi-host (P3): one process per host joins the cluster before any
+    # device op; auto-detected on TPU pods, explicit for CPU/GPU clusters
+    p.add_argument("--coordinator_address", default=None,
+                   help="host:port of process 0 (multi-host training; "
+                        "auto-detected on TPU pods)")
+    p.add_argument("--num_processes", type=int, default=None,
+                   help="number of processes in the multi-host cluster")
+    p.add_argument("--process_id", type=int, default=None,
+                   help="this process's rank in the multi-host cluster")
     p.add_argument("--checkpoint_dir", default=d.checkpoint_dir)
     p.add_argument("--checkpoint_every", type=int, default=d.checkpoint_every)
     p.add_argument("--resume", action="store_true")
@@ -145,6 +158,16 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     # (the persistent XLA compile cache is enabled by graphsage_tpu.train's
     # package import — see train/__init__.py)
+    if getattr(args, "coordinator_address", None) or (
+        getattr(args, "num_processes", None) or 0
+    ) > 1:
+        from graphsage_tpu.parallel.distributed import initialize_multihost
+
+        initialize_multihost(
+            coordinator_address=args.coordinator_address,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
     if args.command == "supervised":
         from graphsage_tpu.train.supervised import train
 

@@ -1,17 +1,27 @@
-"""P3: multi-host initialization and mesh construction over ICI + DCN.
+"""P3: multi-host initialization, global array placement, host fetch.
 
 The reference has no distributed backend at all (no NCCL/MPI/Gloo in
 /root/reference — SURVEY.md §5.8). The TPU-native story: one process per
 host, ``jax.distributed.initialize`` to join the cluster, then a mesh
 whose ``graph``/``data`` axes span all devices — XLA routes collectives
-over ICI within a slice and DCN across slices based on the mesh layout.
+over ICI within a slice and DCN across slices based on the mesh layout
+(keep the ``graph`` axis innermost so the per-hop all-to-alls ride ICI;
+the outer ``data`` axis only carries the per-step grad psum, which is
+DCN-tolerant).
+
+Host-side pattern used by the trainers: every process runs the SAME
+deterministic loop (same seeds -> same batch streams), passes full host
+arrays, and places device data with :func:`put_global`; batch-sharded
+outputs come back through :func:`host_array`, which all-gathers the
+process-local shards. Validated end-to-end by the 2-process CPU test in
+tests/test_multiprocess.py (Gloo collectives).
 """
 
 from __future__ import annotations
 
 import jax
 import numpy as np
-from jax.sharding import Mesh
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def initialize_multihost(
@@ -49,3 +59,32 @@ def data_graph_mesh(n_graph: int) -> Mesh:
 def process_local_batch(global_batch: int) -> int:
     """Per-process batch share for host-side data loading."""
     return global_batch // jax.process_count()
+
+
+def put_global(array, mesh: Mesh, spec: P):
+    """Place a full host array onto a (possibly multi-host) mesh.
+
+    Every process passes the SAME complete array; each contributes only
+    its addressable shards (jax.make_array_from_callback), so this works
+    identically in single- and multi-process settings — the multi-host
+    replacement for ``jax.device_put(x, NamedSharding(mesh, spec))``.
+    """
+    array = np.asarray(array)
+    sharding = NamedSharding(mesh, spec)
+    return jax.make_array_from_callback(
+        array.shape, sharding, lambda idx: array[idx]
+    )
+
+
+def host_array(x) -> np.ndarray:
+    """Fetch a device array to a full host copy on EVERY process.
+
+    Fully-addressable arrays (single-process, or replicated outputs) are
+    a plain transfer; cross-process sharded outputs are all-gathered via
+    the distributed runtime.
+    """
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)

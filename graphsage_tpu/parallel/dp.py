@@ -48,7 +48,7 @@ def make_supervised_train_step(config: SupervisedConfig, optimizer):
 
 
 def make_supervised_chunk_runner(config: SupervisedConfig, optimizer,
-                                 batch_size: int):
+                                 batch_size: int, mesh=None):
     """Run ``n_steps`` training steps in ONE dispatch via lax.fori_loop.
 
     The reference crosses the host<->device boundary every minibatch
@@ -66,8 +66,20 @@ def make_supervised_chunk_runner(config: SupervisedConfig, optimizer,
     ``n_steps`` is a TRACED fori_loop bound (dynamic trip count), so one
     compiled executable serves every chunk size — a static bound would
     recompile (~60s on remoted TPUs) for each distinct epoch tail.
+
+    With ``mesh`` (a ("data","model") mesh), each step's batch is
+    sharding-constrained along ``data`` so GSPMD partitions the whole
+    step: batch ops split over ``data`` (grads all-reduced), and with the
+    feature table / layer-0 weights placed via shard_features /
+    sage_param_shardings(tp=True) the feature-dim contraction reduces
+    over ``model`` — the --n_model_shards path.
     """
     num_nodes = config.sage.num_nodes
+    batch_sharding = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        batch_sharding = NamedSharding(mesh, PartitionSpec("data"))
 
     def one_step(carry, step_idx, features, adj, ids_perm, labels_table,
                  rng):
@@ -75,6 +87,8 @@ def make_supervised_chunk_runner(config: SupervisedConfig, optimizer,
         ids = jax.lax.dynamic_slice(
             ids_perm, (step_idx * batch_size,), (batch_size,)
         )
+        if batch_sharding is not None:
+            ids = jax.lax.with_sharding_constraint(ids, batch_sharding)
         labels = jnp.take(labels_table, ids, axis=0)
         mask = (ids != num_nodes).astype(jnp.float32)
         step_rng = jax.random.fold_in(rng, step_idx)
@@ -299,3 +313,243 @@ def place_graph_arrays(features, adj, mesh, tp: bool = False):
 def place_batch(mesh, *arrays):
     sh = shard_batch(mesh)
     return tuple(jax.device_put(a, sh) for a in arrays)
+
+
+# ------------------------------------------------ P1: pure data parallelism
+
+
+def make_dp_supervised_chunk_runner(
+    sup_config: SupervisedConfig,
+    optimizer,
+    mesh,
+    batch_size: int,
+    axis_name: str = "data",
+):
+    """--data_shards N: chunked supervised training over a 1-D ("data",)
+    mesh via shard_map — tables and params replicated, each device takes
+    its batch_size/D split of every step's batch, gradients psum over the
+    axis. Same call signature and return layout as the jitted
+    make_supervised_chunk_runner, so the trainer swaps them 1:1.
+
+    Loss/grad math reproduces the single-device step bit-for-bit under
+    the deterministic first_k sampler: per-device masked loss sums are
+    normalized by the psum'd global mask count before the grad psum.
+    """
+    import numpy as np
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    from graphsage_tpu.models.graphsage import (
+        l2_normalize,
+        sage_decay_weights,
+        sage_embed,
+    )
+    from graphsage_tpu.models.supervised import (
+        _sigmoid_xent,
+        _softmax_xent,
+    )
+    from graphsage_tpu.nn.dense import apply_dense
+
+    config = sup_config.sage
+    num_nodes = config.num_nodes
+
+    def local_loss(params, features, adj, ids, labels, mask, rng,
+                   global_mask_sum):
+        emb = sage_embed(
+            params, features, adj, ids, rng, config,
+            deterministic=config.dropout == 0.0,
+        )
+        emb = l2_normalize(emb, axis=1)
+        head_rng = jax.random.fold_in(rng, 7)
+        logits = apply_dense(
+            params["head"], emb, act=None,
+            dropout_rate=config.dropout, rng=head_rng,
+            deterministic=config.dropout == 0.0,
+        )
+        if sup_config.sigmoid_loss:
+            per_node = _sigmoid_xent(logits, labels) / sup_config.num_classes
+        else:
+            per_node = _softmax_xent(logits, labels)
+        loss = jnp.sum(per_node * mask) / global_mask_sum
+        if sup_config.weight_decay > 0.0:
+            decayed = sage_decay_weights(params, config)
+            decayed += [params["head"]["w"], params["head"]["b"]]
+            # replicated work: /D so the psum of shard losses/grads
+            # reproduces the single-device value
+            D = jax.lax.axis_size(axis_name)
+            loss = loss + sup_config.weight_decay * sum(
+                0.5 * jnp.sum(w * w) for w in decayed
+            ) / D
+        return loss, logits
+
+    def mapped(params, opt_state, rng, features, adj, ids_perm,
+               labels_table, start_step, n_steps):
+        D = jax.lax.axis_size(axis_name)
+        me = jax.lax.axis_index(axis_name)
+        local_b = batch_size // D
+
+        def one_step(carry, step_idx):
+            params, opt_state = carry
+            ids = jax.lax.dynamic_slice(
+                ids_perm, (step_idx * batch_size + me * local_b,),
+                (local_b,),
+            )
+            labels = jnp.take(labels_table, ids, axis=0)
+            mask = (ids != num_nodes).astype(jnp.float32)
+            global_mask_sum = jnp.maximum(
+                jax.lax.psum(jnp.sum(mask), axis_name), 1.0
+            )
+            step_rng = jax.random.fold_in(
+                jax.random.fold_in(rng, step_idx), me
+            )
+            (loss, logits), grads = jax.value_and_grad(
+                local_loss, has_aux=True
+            )(params, features, adj, ids, labels, mask, step_rng,
+              global_mask_sum)
+            loss = jax.lax.psum(loss, axis_name)
+            grads = jax.lax.psum(grads, axis_name)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), (loss, logits, ids)
+
+        def body(j, state):
+            carry, _ = state
+            return one_step(carry, start_step + j)
+
+        dummy_out = (
+            jnp.zeros(()),
+            jnp.zeros((local_b, sup_config.num_classes)),
+            jnp.zeros((local_b,), ids_perm.dtype),
+        )
+        (params, opt_state), (loss, logits, ids) = jax.lax.fori_loop(
+            0, n_steps, body, ((params, opt_state), dummy_out)
+        )
+        return params, opt_state, loss, logits, ids
+
+    rep = P()
+    sh = P(axis_name)
+    return jax.jit(
+        shard_map(
+            mapped,
+            mesh=mesh,
+            in_specs=(rep, rep, rep, rep, rep, rep, rep, rep, rep),
+            out_specs=(rep, rep, rep, sh, sh),
+            check_rep=False,
+        ),
+        donate_argnums=(0, 1),
+    )
+
+
+def make_dp_unsupervised_chunk_runner(
+    unsup_config: UnsupervisedConfig,
+    optimizer,
+    mesh,
+    batch_size: int,
+    axis_name: str = "data",
+):
+    """--data_shards N unsupervised: edge pairs split over the axis, the
+    negative tower drawn ONCE per step (identical on every device, like
+    the single-device three-tower step), grads psum'd. Bit-matches the
+    single-device chunk runner under first_k (negatives share the same
+    rng stream; per-edge losses renormalize by the global mask count)."""
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    from graphsage_tpu.models.graphsage import (
+        l2_normalize,
+        sage_decay_weights,
+        sage_embed,
+    )
+    from graphsage_tpu.nn import prediction
+    from graphsage_tpu.nn.negative import sample_negatives
+
+    config = unsup_config.sage
+    num_nodes = config.num_nodes
+
+    def mapped(params, opt_state, shadow, rng, features, adj, pairs_perm,
+               neg_cdf, start_step, n_steps):
+        D = jax.lax.axis_size(axis_name)
+        me = jax.lax.axis_index(axis_name)
+        local_b = batch_size // D
+
+        def local_loss(params, b1, b2, mask, step_rng, global_mask_sum):
+            # same (r_neg, r_fwd) split as unsupervised_outputs so the
+            # negative tower matches the single-device stream exactly
+            r_neg, r_fwd = jax.random.split(step_rng)
+            neg_ids = sample_negatives(
+                r_neg, neg_cdf, unsup_config.neg_sample_size
+            )
+            lb = b1.shape[0]
+            all_ids = jnp.concatenate([b1, b2, neg_ids])
+            out = sage_embed(
+                params, features, adj, all_ids,
+                jax.random.fold_in(r_fwd, me), config,
+                deterministic=config.dropout == 0.0,
+            )
+            o1 = l2_normalize(out[:lb], 1)
+            o2 = l2_normalize(out[lb:2 * lb], 1)
+            neg = l2_normalize(out[2 * lb:], 1)
+            raw = prediction.edge_pred_loss(
+                o1, o2, neg, loss_fn=unsup_config.loss_fn, mask=mask,
+                neg_sample_weights=unsup_config.neg_sample_weights,
+            )
+            loss = raw / global_mask_sum
+            if unsup_config.weight_decay > 0.0:
+                loss = loss + unsup_config.weight_decay * sum(
+                    0.5 * jnp.sum(w * w)
+                    for w in sage_decay_weights(params, config)
+                ) / D
+            aff = prediction.affinity(o1, o2)
+            neg_aff = prediction.neg_cost(o1, neg)
+            _, mrr = prediction.mrr_and_ranks(aff, neg_aff, mask)
+            return loss, (mrr, jnp.sum(mask))
+
+        def one_step(carry, step_idx):
+            params, opt_state, shadow = carry
+            pair = jax.lax.dynamic_slice(
+                pairs_perm, (step_idx * batch_size + me * local_b, 0),
+                (local_b, 2),
+            )
+            b1, b2 = pair[:, 0], pair[:, 1]
+            mask = (b1 != num_nodes).astype(jnp.float32)
+            global_mask_sum = jnp.maximum(
+                jax.lax.psum(jnp.sum(mask), axis_name), 1.0
+            )
+            step_rng = jax.random.fold_in(rng, step_idx)
+            (loss, (mrr, cnt)), grads = jax.value_and_grad(
+                local_loss, has_aux=True
+            )(params, b1, b2, mask, step_rng, global_mask_sum)
+            loss = jax.lax.psum(loss, axis_name)
+            # exact global masked mean, robust to uneven shard mask counts
+            mrr = (jax.lax.psum(mrr * cnt, axis_name)
+                   / jnp.maximum(jax.lax.psum(cnt, axis_name), 1.0))
+            grads = jax.lax.psum(grads, axis_name)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            shadow = jnp.where(
+                shadow < 0, mrr, shadow - (1 - 0.99) * (shadow - mrr)
+            )
+            return (params, opt_state, shadow), (loss, mrr)
+
+        def body(j, state):
+            carry, _ = state
+            return one_step(carry, start_step + j)
+
+        init = ((params, opt_state, shadow),
+                (jnp.zeros(()), jnp.zeros(())))
+        (params, opt_state, shadow), (loss, mrr) = jax.lax.fori_loop(
+            0, n_steps, body, init
+        )
+        return params, opt_state, shadow, loss, mrr
+
+    rep = P()
+    return jax.jit(
+        shard_map(
+            mapped,
+            mesh=mesh,
+            in_specs=(rep,) * 10,
+            out_specs=(rep, rep, rep, rep, rep),
+            check_rep=False,
+        ),
+        donate_argnums=(0, 1),
+    )

@@ -841,10 +841,13 @@ def make_sharded_unsupervised_step(
 def reassemble_sharded_rows(arr, n_shards: int, n_batches: int):
     """Reorder a P(axis)-concatenated per-shard sweep output (shard-major
     [D * n_b * local_rows, ...]) into the global step-major row order the
-    id stream used ([n_b * D * local_rows, ...])."""
+    id stream used ([n_b * D * local_rows, ...]). Cross-process shards
+    are all-gathered first (multi-host)."""
     import numpy as np
 
-    arr = np.asarray(arr)
+    from graphsage_tpu.parallel.distributed import host_array
+
+    arr = host_array(arr)
     local = arr.shape[0] // (n_shards * n_batches)
     shaped = arr.reshape((n_shards, n_batches, local) + arr.shape[1:])
     return np.ascontiguousarray(shaped.swapaxes(0, 1)).reshape(

@@ -70,7 +70,9 @@ class TrainFlags:
     data_shards: int = 1        # pure data parallelism over N devices (P1)
     capacity_factor: float = 0.0  # P2 all-to-all budget; 0 = auto-size
     seed: int = 123
-    n_model_shards: int = 1     # feature-dim tensor parallelism
+    n_model_shards: int = 1     # feature-dim TP over a ("data","model")
+                                # mesh (supervised; composes with
+                                # data_shards; forces fused_gather off)
     checkpoint_dir: str = ""    # orbax checkpoint root ("" = disabled)
     checkpoint_every: int = 0   # steps; 0 = only at end
     resume: bool = False

@@ -142,6 +142,14 @@ def train(flags: TrainFlags, graph=None) -> dict:
     if flags.graph_shards > 1:
         return _train_sharded(flags, graph)
 
+    if flags.n_model_shards > 1:
+        # feature-dim TP runs under GSPMD; the Pallas fused gather is an
+        # opaque custom call GSPMD cannot partition over the model-split
+        # feature table — fall back to the XLA gather path.
+        import dataclasses
+
+        flags = dataclasses.replace(flags, fused_gather=False)
+
     config = build_supervised_config(flags, graph)
     sigmoid = flags.sigmoid
 
@@ -189,10 +197,68 @@ def train(flags: TrainFlags, graph=None) -> dict:
     labels_table_dev = jnp.asarray(labels_table)
 
     # one executable for every chunk size: n_steps is a traced loop bound
-    run_chunk = jax.jit(
-        make_supervised_chunk_runner(config, optimizer, B),
-        donate_argnums=(0, 1),
-    )
+    tp_mesh = None
+    if flags.n_model_shards > 1:
+        # --n_model_shards: ("data","model") mesh; the feature table and
+        # layer-0 weights split on the feature axis (parallel/mesh.py),
+        # the batch constrained along "data"; XLA inserts the layer-0
+        # contraction all-reduce and the grad psums (dp+tp via pjit).
+        from graphsage_tpu.parallel.dp import (
+            place_graph_arrays,
+            place_train_state,
+            sage_param_shardings,
+        )
+        from graphsage_tpu.parallel.mesh import make_mesh
+
+        n_dev = flags.data_shards * flags.n_model_shards
+        devices = jax.devices()
+        if len(devices) < n_dev:
+            devices = jax.devices("cpu")
+        assert len(devices) >= n_dev, (
+            f"need {n_dev} devices for data_shards x n_model_shards"
+        )
+        assert B % max(flags.data_shards, 1) == 0
+        tp_mesh = make_mesh(n_data=flags.data_shards,
+                            n_model=flags.n_model_shards,
+                            devices=devices[:n_dev])
+        shardings = sage_param_shardings(params, tp_mesh, config.sage,
+                                         tp=True)
+        params, opt_state = place_train_state(params, optimizer, shardings)
+        features, train_adj = place_graph_arrays(
+            features, train_adj, tp_mesh, tp=True
+        )
+        full_adj = jax.device_put(full_adj, train_adj.sharding)
+        run_chunk = jax.jit(
+            make_supervised_chunk_runner(config, optimizer, B,
+                                         mesh=tp_mesh),
+            donate_argnums=(0, 1),
+        )
+    elif flags.data_shards > 1:
+        # P1 pure data parallelism: batch split over a ("data",) mesh,
+        # replicated tables, psum'd grads (parallel/dp.py)
+        from jax.sharding import Mesh
+
+        from graphsage_tpu.parallel.dp import (
+            make_dp_supervised_chunk_runner,
+        )
+
+        Ddp = flags.data_shards
+        assert B % Ddp == 0, "batch_size must divide data_shards"
+        devices = jax.devices()
+        if len(devices) < Ddp:
+            devices = jax.devices("cpu")
+        assert len(devices) >= Ddp, (
+            f"need {Ddp} devices for --data_shards {Ddp}"
+        )
+        dp_mesh = Mesh(np.asarray(devices[:Ddp]), ("data",))
+        run_chunk = make_dp_supervised_chunk_runner(
+            config, optimizer, dp_mesh, B
+        )
+    else:
+        run_chunk = jax.jit(
+            make_supervised_chunk_runner(config, optimizer, B),
+            donate_argnums=(0, 1),
+        )
 
     eval_step = make_eval_step(config)
     eval_sweep = make_eval_sweep(config, B, dummy)
@@ -266,9 +332,12 @@ def train(flags: TrainFlags, graph=None) -> dict:
             # Host fetches only at chunk boundaries: each fetch is a full
             # tunnel round-trip (~40ms on remoted TPUs).
             if (total_steps - 1) % flags.print_every < n:
-                ids_np = np.asarray(last_ids)
+                from graphsage_tpu.parallel.distributed import host_array
+
+                ids_np = host_array(last_ids)
                 keep = ids_np != dummy
-                preds = supervised_predict(logits, config)
+                preds = supervised_predict(jnp.asarray(host_array(logits)),
+                                           config)
                 f1_mic, f1_mac = calc_f1(
                     labels_table[ids_np[keep]], np.asarray(preds)[keep],
                     sigmoid,
@@ -357,6 +426,9 @@ def _train_sharded(flags: TrainFlags, graph) -> dict:
     split along the same axis (data parallel)."""
     from jax.sharding import Mesh
 
+    from jax.sharding import PartitionSpec as P
+
+    from graphsage_tpu.parallel.distributed import host_array, put_global
     from graphsage_tpu.parallel.graph_sharded import (
         make_sharded_supervised_eval,
         shard_rows,
@@ -378,14 +450,18 @@ def _train_sharded(flags: TrainFlags, graph) -> dict:
     )
     batcher = NodeBatcher(graph, deg, flags.batch_size, seed=flags.seed)
 
+    # put_global: every process passes the full table, contributes its
+    # addressable row shards (multi-host safe; plain device_put otherwise)
     feats_np = graph.padded_features()
     if feats_np is not None:
         feats_np = feats_np.astype(flags.feature_dtype)
-        feat_sh = jnp.asarray(shard_rows(feats_np, D)[0])
+        feat_sh = put_global(shard_rows(feats_np, D)[0], mesh, P("graph"))
     else:
         feat_sh = None
-    train_adj_sh = jnp.asarray(shard_rows(train_adj_np, D)[0])
-    full_adj_sh = jnp.asarray(shard_rows(full_adj_np, D)[0])
+    train_adj_sh = put_global(shard_rows(train_adj_np, D)[0], mesh,
+                              P("graph"))
+    full_adj_sh = put_global(shard_rows(full_adj_np, D)[0], mesh,
+                             P("graph"))
     cap_factor = flags.capacity_factor or suggest_capacity_factor(
         full_adj_np, D
     )
@@ -396,8 +472,9 @@ def _train_sharded(flags: TrainFlags, graph) -> dict:
     key, init_key = jax.random.split(key)
     params = init_supervised_params(init_key, config)
     if config.sage.identity_dim > 0:
-        params["embeds"] = jnp.asarray(
-            shard_rows(np.asarray(params["embeds"]), D)[0]
+        params["embeds"] = put_global(
+            shard_rows(np.asarray(params["embeds"]), D)[0], mesh,
+            P("graph"),
         )
     optimizer = make_optimizer(flags.learning_rate)
     opt_state = optimizer.init(params)
@@ -518,7 +595,7 @@ def _train_sharded(flags: TrainFlags, graph) -> dict:
                 val_cost = float(vloss)
                 k = int(vb.mask.sum())
                 val_f1_mic, val_f1_mac = calc_f1(
-                    vb.labels[:k], np.asarray(vpred)[:k], sigmoid
+                    vb.labels[:k], host_array(vpred)[:k], sigmoid
                 )
             it += n
             total_steps += n
@@ -528,10 +605,10 @@ def _train_sharded(flags: TrainFlags, graph) -> dict:
             ) / timed_steps
             if (total_steps - 1) % flags.print_every < n:
                 note_dropped(dropped, "train chunk")
-                ids_np = np.asarray(last_ids)
+                ids_np = host_array(last_ids)
                 keep = ids_np != dummy
                 f1_mic, f1_mac = calc_f1(
-                    labels_table[ids_np[keep]], np.asarray(preds)[keep],
+                    labels_table[ids_np[keep]], host_array(preds)[keep],
                     sigmoid,
                 )
                 train_loss = float(loss)

@@ -212,10 +212,31 @@ def train(flags: TrainFlags, graph=None) -> dict:
     pairs_padded[: len(train_pairs)] = train_pairs
     pairs_padded_dev = jnp.asarray(pairs_padded)
 
-    run_chunk = jax.jit(
-        make_unsupervised_chunk_runner(config, optimizer, B, dummy),
-        donate_argnums=(0, 1),
-    )
+    if flags.data_shards > 1:
+        # P1 pure data parallelism (parallel/dp.py)
+        from jax.sharding import Mesh
+
+        from graphsage_tpu.parallel.dp import (
+            make_dp_unsupervised_chunk_runner,
+        )
+
+        Ddp = flags.data_shards
+        assert B % Ddp == 0, "batch_size must divide data_shards"
+        devices = jax.devices()
+        if len(devices) < Ddp:
+            devices = jax.devices("cpu")
+        assert len(devices) >= Ddp, (
+            f"need {Ddp} devices for --data_shards {Ddp}"
+        )
+        dp_mesh = Mesh(np.asarray(devices[:Ddp]), ("data",))
+        run_chunk = make_dp_unsupervised_chunk_runner(
+            config, optimizer, dp_mesh, B
+        )
+    else:
+        run_chunk = jax.jit(
+            make_unsupervised_chunk_runner(config, optimizer, B, dummy),
+            donate_argnums=(0, 1),
+        )
 
     eval_step = make_unsup_eval_step(config)
     embed_step = make_embed_step(config)
@@ -488,7 +509,10 @@ def _train_sharded(flags: TrainFlags, graph, deg, batcher: EdgeBatcher,
     halo exchange (parallel/graph_sharded.py); host-driven per-batch loop."""
     from jax.sharding import Mesh
 
+    from jax.sharding import PartitionSpec as P
+
     from graphsage_tpu.data.adjacency import build_both_adjs
+    from graphsage_tpu.parallel.distributed import put_global
     from graphsage_tpu.parallel.graph_sharded import (
         make_sharded_unsupervised_eval,
         shard_rows,
@@ -509,13 +533,16 @@ def _train_sharded(flags: TrainFlags, graph, deg, batcher: EdgeBatcher,
     )
     feats_np = graph.padded_features()
     if feats_np is not None:
-        feat_sh = jnp.asarray(
-            shard_rows(feats_np.astype(flags.feature_dtype), D)[0]
+        feat_sh = put_global(
+            shard_rows(feats_np.astype(flags.feature_dtype), D)[0],
+            mesh, P("graph"),
         )
     else:
         feat_sh = None
-    train_adj_sh = jnp.asarray(shard_rows(train_adj_np, D)[0])
-    full_adj_sh = jnp.asarray(shard_rows(full_adj_np, D)[0])
+    train_adj_sh = put_global(shard_rows(train_adj_np, D)[0], mesh,
+                              P("graph"))
+    full_adj_sh = put_global(shard_rows(full_adj_np, D)[0], mesh,
+                             P("graph"))
     neg_cdf = jnp.asarray(unigram_cdf(deg))
     cap_factor = flags.capacity_factor or suggest_capacity_factor(
         full_adj_np, D
@@ -538,8 +565,9 @@ def _train_sharded(flags: TrainFlags, graph, deg, batcher: EdgeBatcher,
     key, init_key = jax.random.split(key)
     params = init_unsupervised_params(init_key, config)
     if config.sage.identity_dim > 0:
-        params["embeds"] = jnp.asarray(
-            shard_rows(np.asarray(params["embeds"]), D)[0]
+        params["embeds"] = put_global(
+            shard_rows(np.asarray(params["embeds"]), D)[0], mesh,
+            P("graph"),
         )
     optimizer = make_optimizer(flags.learning_rate)
     opt_state = optimizer.init(params)

@@ -1,0 +1,199 @@
+"""P1 pure-data-parallel tests on the virtual 8-device CPU mesh.
+
+The --data_shards chunk runners must reproduce the single-device chunk
+runners bit-for-bit under the deterministic first_k sampler (the same
+acceptance bar test_graph_sharded.py applies to P2).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from graphsage_tpu.data.adjacency import build_both_adjs
+from graphsage_tpu.models.graphsage import LayerInfo, SAGEConfig
+from graphsage_tpu.models.supervised import (
+    SupervisedConfig,
+    init_supervised_params,
+    make_optimizer,
+)
+from graphsage_tpu.parallel.dp import (
+    make_dp_supervised_chunk_runner,
+    make_dp_unsupervised_chunk_runner,
+    make_supervised_chunk_runner,
+    make_unsupervised_chunk_runner,
+)
+
+D = 8
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return Mesh(np.asarray(jax.devices()[:D]), ("data",))
+
+
+def _sup_setup(toy_graph, weight_decay=0.05):
+    g = toy_graph
+    adj, _, _ = build_both_adjs(g, max_degree=8)
+    feats = g.padded_features()
+    sage = SAGEConfig(
+        layers=(LayerInfo(4, 8), LayerInfo(3, 8)),
+        feature_dim=feats.shape[1],
+        aggregator="mean",
+        sampler_mode="first_k",
+        num_nodes=g.num_nodes,
+    )
+    sup = SupervisedConfig(sage=sage, num_classes=g.num_classes,
+                           weight_decay=weight_decay)
+    params = init_supervised_params(jax.random.key(0), sup)
+    labels_table = jnp.asarray(
+        np.vstack([g.labels, np.zeros((1, g.num_classes), np.float32)])
+    )
+    return g, adj, feats, sup, params, labels_table
+
+
+def test_dp_supervised_chunk_matches_single_device(mesh, toy_graph):
+    g, adj, feats, sup, params, labels_table = _sup_setup(toy_graph)
+    optimizer = make_optimizer(0.01)
+    B = 16
+    n_steps = 3
+    ids_perm = jnp.asarray(
+        np.arange(n_steps * B, dtype=np.int32) % g.num_nodes
+    )
+    rng = jax.random.key(7)
+
+    single = jax.jit(
+        make_supervised_chunk_runner(sup, optimizer, B),
+        donate_argnums=(0, 1),
+    )
+    p1, _, loss1, logits1, ids1 = single(
+        jax.tree.map(jnp.copy, params), optimizer.init(params), rng,
+        jnp.asarray(feats), jnp.asarray(adj), ids_perm, labels_table,
+        0, n_steps,
+    )
+
+    dp = make_dp_supervised_chunk_runner(sup, optimizer, mesh, B)
+    p2, _, loss2, logits2, ids2 = dp(
+        params, optimizer.init(params), rng, jnp.asarray(feats),
+        jnp.asarray(adj), ids_perm, labels_table, 0, n_steps,
+    )
+    np.testing.assert_allclose(float(loss2), float(loss1), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(ids2), np.asarray(ids1))
+    np.testing.assert_allclose(
+        np.asarray(logits2), np.asarray(logits1), rtol=1e-4, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(p2["head"]["w"]), np.asarray(p1["head"]["w"]),
+        rtol=1e-4, atol=1e-6,
+    )
+
+
+def test_dp_unsupervised_chunk_matches_single_device(mesh, toy_graph):
+    from graphsage_tpu.models.unsupervised import (
+        UnsupervisedConfig,
+        init_unsupervised_params,
+    )
+    from graphsage_tpu.nn.negative import unigram_cdf
+
+    g = toy_graph
+    adj, deg, _ = build_both_adjs(g, max_degree=8)
+    feats = g.padded_features()
+    sage = SAGEConfig(
+        layers=(LayerInfo(4, 8), LayerInfo(3, 8)),
+        feature_dim=feats.shape[1],
+        aggregator="mean",
+        sampler_mode="first_k",
+        num_nodes=g.num_nodes,
+    )
+    unsup = UnsupervisedConfig(sage=sage, neg_sample_size=5,
+                               weight_decay=0.01)
+    params = init_unsupervised_params(jax.random.key(0), unsup)
+    optimizer = make_optimizer(1e-3)
+    neg_cdf = jnp.asarray(unigram_cdf(deg))
+
+    B = 16
+    n_steps = 3
+    pairs = g.edges[: n_steps * B].astype(np.int32)
+    pairs_perm = jnp.asarray(pairs)
+    rng = jax.random.key(9)
+    shadow0 = jnp.asarray(-1.0)
+
+    single = jax.jit(
+        make_unsupervised_chunk_runner(unsup, optimizer, B, g.num_nodes),
+        donate_argnums=(0, 1),
+    )
+    p1, _, sh1, loss1, mrr1 = single(
+        jax.tree.map(jnp.copy, params), optimizer.init(params), shadow0,
+        rng, jnp.asarray(feats), jnp.asarray(adj), pairs_perm, neg_cdf,
+        0, n_steps,
+    )
+
+    dp = make_dp_unsupervised_chunk_runner(unsup, optimizer, mesh, B)
+    p2, _, sh2, loss2, mrr2 = dp(
+        params, optimizer.init(params), shadow0, rng, jnp.asarray(feats),
+        jnp.asarray(adj), pairs_perm, neg_cdf, 0, n_steps,
+    )
+    np.testing.assert_allclose(float(loss2), float(loss1), rtol=1e-5)
+    np.testing.assert_allclose(float(mrr2), float(mrr1), rtol=1e-5)
+    np.testing.assert_allclose(float(sh2), float(sh1), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(p2["aggs"][0]["self_w"]),
+        np.asarray(p1["aggs"][0]["self_w"]),
+        rtol=1e-4, atol=1e-6,
+    )
+
+
+def test_data_shards_trainer_end_to_end(tmp_path, toy_graph):
+    from graphsage_tpu.train.config import TrainFlags
+    from graphsage_tpu.train.supervised import train
+
+    flags = TrainFlags(
+        train_prefix=str(tmp_path / "synth"),
+        epochs=2, batch_size=16, samples_1=4, samples_2=3,
+        dim_1=8, dim_2=8, max_degree=8, validate_iter=4,
+        validate_batch_size=8, print_every=1000,
+        base_log_dir=str(tmp_path), data_shards=D, seed=123,
+    )
+    result = train(flags, graph=toy_graph)
+    assert np.isfinite(result["val_loss"])
+    assert result["val_f1_mic"] > 0.4
+
+
+def test_n_model_shards_trainer_end_to_end(tmp_path, toy_graph):
+    """--n_model_shards: dp+tp pjit path (feature-dim split) trains and
+    reaches the same quality bar."""
+    from graphsage_tpu.train.config import TrainFlags
+    from graphsage_tpu.train.supervised import train
+
+    flags = TrainFlags(
+        train_prefix=str(tmp_path / "synth"),
+        epochs=2, batch_size=16, samples_1=4, samples_2=3,
+        dim_1=8, dim_2=8, max_degree=8, validate_iter=4,
+        validate_batch_size=8, print_every=1000,
+        base_log_dir=str(tmp_path), data_shards=4, n_model_shards=2,
+        seed=123,
+    )
+    result = train(flags, graph=toy_graph)
+    assert np.isfinite(result["val_loss"])
+    assert result["val_f1_mic"] > 0.4
+
+
+def test_data_shards_unsup_trainer(tmp_path, toy_graph):
+    import os
+
+    from graphsage_tpu.train.config import TrainFlags
+    from graphsage_tpu.train.unsupervised import train
+
+    flags = TrainFlags(
+        train_prefix=str(tmp_path / "synth"),
+        epochs=1, batch_size=16, samples_1=4, samples_2=3,
+        dim_1=8, dim_2=8, max_degree=8, validate_iter=4,
+        validate_batch_size=8, print_every=1000, max_total_steps=8,
+        base_log_dir=str(tmp_path), data_shards=D, seed=123,
+        random_context=False, neg_sample_size=4,
+    )
+    result = train(flags, graph=toy_graph)
+    assert np.isfinite(result["val_loss"])
+    emb = np.load(os.path.join(result["log_dir"], "val.npy"))
+    assert emb.shape[0] == toy_graph.num_nodes
