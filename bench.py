@@ -6,10 +6,18 @@ fanout 25/10, dims 128/128, max_degree 128, 602-dim features, 41
 classes, softmax head. The metric is sampled-edges aggregated per
 second: batch * (S2 + S2*S1) neighbor gathers per step.
 
-``vs_baseline`` divides by REFERENCE_EDGES_PER_SEC — the TF1 reference
-publishes no numbers (BASELINE.md), so this is an estimated TF-GPU
-step rate (~2M edges/s at ~70ms/step on the same shape), recorded here
-so the ratio is reproducible and honest about its provenance.
+The adjacency draws neighbor ids from a zipf(1.05) distribution over
+degree-ordered ids — real Reddit/PPI frontiers are hub-dominated and a
+uniform-random graph hides exactly the skew (hub reuse, capacity
+pressure) that matters; pass --dist uniform for the uniform variant.
+
+``vs_baseline`` divides by a MEASURED reference number:
+benchmarks/BASELINE_MEASURED.json, produced by
+benchmarks/reference_baseline.py — a tf.compat.v1 re-enactment of the
+reference's supervised step (same shape, per-step feed_dict) timed on
+this machine's CPU (the reference pins TF1.8-GPU, unavailable here).
+``roofline_frac`` reports step bytes-moved against the v5e ~819 GB/s
+HBM peak so the absolute headroom is visible.
 
 Prints exactly one JSON line.
 """
@@ -17,13 +25,13 @@ Prints exactly one JSON line.
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-
-REFERENCE_EDGES_PER_SEC = 2.0e6  # estimated TF1-GPU reference; see docstring
 
 NUM_NODES = 100_000
 FEAT_DIM = 602
@@ -34,9 +42,20 @@ FANOUTS = (25, 10)
 DIMS = (128, 128)
 WARMUP = 5
 ITERS = 100
+HBM_PEAK_BYTES_PER_S = 819e9  # TPU v5e (lite) HBM bandwidth
 
 
-def build(fused: bool = True):
+def zipf_adjacency(rng, alpha: float = 1.05):
+    """[N+1, max_degree] neighbor ids drawn zipf over degree-ordered ids:
+    id 0 is the biggest hub. Matches power-law frontier skew."""
+    ranks = np.arange(1, NUM_NODES + 1, dtype=np.float64)
+    p = ranks ** -alpha
+    p /= p.sum()
+    flat = rng.choice(NUM_NODES, size=(NUM_NODES + 1) * MAX_DEGREE, p=p)
+    return flat.reshape(NUM_NODES + 1, MAX_DEGREE).astype(np.int32)
+
+
+def build(fused: bool = True, dist: str = "zipf"):
     from graphsage_tpu.models.graphsage import LayerInfo, SAGEConfig
     from graphsage_tpu.models.supervised import (
         SupervisedConfig,
@@ -57,19 +76,18 @@ def build(fused: bool = True):
                               sigmoid_loss=False, weight_decay=0.0)
 
     rng = np.random.default_rng(0)
-    # f32 features + the Pallas fused gather measure fastest end-to-end
-    # (27.7M vs 26.8M edges/s for bf16+XLA: the bf16 gather is cheaper but
-    # per-hop upcasts give the win back); --feature_dtype stays available
-    # on the trainers.
     features = jnp.asarray(pad_feature_dim(
         np.vstack([
             rng.standard_normal((NUM_NODES, FEAT_DIM)).astype(np.float32),
             np.zeros((1, FEAT_DIM), dtype=np.float32),
         ])
     ))
-    adj = jnp.asarray(
-        rng.integers(0, NUM_NODES, (NUM_NODES + 1, MAX_DEGREE), dtype=np.int32)
-    )
+    if dist == "zipf":
+        adj = jnp.asarray(zipf_adjacency(rng))
+    else:
+        adj = jnp.asarray(rng.integers(
+            0, NUM_NODES, (NUM_NODES + 1, MAX_DEGREE), dtype=np.int32
+        ))
     labels_idx = rng.integers(0, NUM_CLASSES, (BATCH,))
     labels = jnp.asarray(np.eye(NUM_CLASSES, dtype=np.float32)[labels_idx])
     mask = jnp.ones((BATCH,), dtype=jnp.float32)
@@ -97,8 +115,26 @@ def build(fused: bool = True):
             features, adj, ids, labels, mask)
 
 
+def measured_baseline():
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "benchmarks", "BASELINE_MEASURED.json")
+    try:
+        with open(path) as fp:
+            data = json.load(fp)
+        return float(data["reference_edges_per_sec"]), (
+            data.get("provenance", "measured, see " + path)
+        )
+    except (OSError, KeyError, ValueError):
+        return 2.0e6, "ESTIMATED TF1-GPU rate (measured file missing)"
+
+
 def main():
-    step, params, opt_state, features, adj, ids, labels, mask = build()
+    dist = "uniform" if "--dist=uniform" in sys.argv or (
+        "uniform" in sys.argv
+    ) else "zipf"
+    step, params, opt_state, features, adj, ids, labels, mask = build(
+        dist=dist
+    )
     key = jax.random.key(1)
 
     for i in range(WARMUP):
@@ -123,13 +159,29 @@ def main():
         float(loss)
         best_dt = min(best_dt, time.perf_counter() - t0)
 
+    sec_per_step = best_dt / ITERS
     edges_per_step = BATCH * (FANOUTS[1] + FANOUTS[1] * FANOUTS[0])
     edges_per_sec = edges_per_step * ITERS / best_dt
+    ref_rate, provenance = measured_baseline()
+
+    # dominant traffic: feature rows touched per step (fwd gathers) +
+    # adjacency rows + output writes; f32 table
+    rows = BATCH * (1 + FANOUTS[1] + FANOUTS[1] * FANOUTS[0])
+    feat_bytes = rows * features.shape[1] * features.dtype.itemsize
+    adj_bytes = (BATCH * (1 + FANOUTS[1])) * MAX_DEGREE * 4
+    bytes_per_step = feat_bytes + adj_bytes
+    roofline_frac = bytes_per_step / sec_per_step / HBM_PEAK_BYTES_PER_S
+
     print(json.dumps({
         "metric": "supervised_train_edges_per_sec",
         "value": round(edges_per_sec, 1),
         "unit": "edges/s/chip",
-        "vs_baseline": round(edges_per_sec / REFERENCE_EDGES_PER_SEC, 3),
+        "vs_baseline": round(edges_per_sec / ref_rate, 3),
+        "baseline_provenance": provenance,
+        "baseline_edges_per_sec": ref_rate,
+        "graph_dist": dist,
+        "sec_per_step": round(sec_per_step, 6),
+        "roofline_frac": round(roofline_frac, 4),
     }))
 
 

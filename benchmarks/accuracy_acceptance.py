@@ -1,0 +1,180 @@
+"""Accuracy acceptance on power-law proxy datasets (run on TPU).
+
+The real PPI/Reddit datasets cannot be fetched in this environment
+(zero egress), so this runs the FULL pipeline — supervised
+(mean/maxpool/seq) and unsupervised+logistic-probe — on two
+degree-skewed proxies generated to match the real datasets' published
+statistics, and records micro-F1 into benchmarks/RESULTS.md. Provenance
+is stated in the table; these are proxy numbers, compared against the
+paper's real-dataset numbers (BASELINE.md) for orientation only.
+
+  proxy-ppi:    15k nodes, 121 multilabel classes, 50 feats,
+                power-law degrees (real PPI: 57k nodes / 819k edges /
+                50 feats / 121 classes, mean degree ~29)
+  proxy-reddit: 50k nodes, 41 classes, 602 feats, power-law degrees
+                (real Reddit: 233k nodes / 11.6M edges / 602 feats /
+                41 classes — scaled ~1/5, same feature/label shape)
+
+Usage:  timeout 3000 python benchmarks/accuracy_acceptance.py \
+            [--quick] [--out benchmarks/RESULTS.md]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def gen_datasets(root: str, quick: bool):
+    from graphsage_tpu.data.synthetic import (
+        make_powerlaw_graph,
+        write_dataset,
+    )
+    from graphsage_tpu.data.walks import run_random_walks, write_walks
+
+    specs = {
+        "proxy-ppi": dict(
+            num_nodes=4_000 if quick else 15_000, num_classes=121,
+            feat_dim=50, avg_degree=29, alpha=1.0, multilabel=True,
+            feature_snr=1.5, seed=11,
+        ),
+        "proxy-reddit": dict(
+            num_nodes=10_000 if quick else 50_000, num_classes=41,
+            feat_dim=602, avg_degree=60, alpha=1.0, multilabel=False,
+            feature_snr=1.5, seed=12,
+        ),
+    }
+    prefixes = {}
+    for name, spec in specs.items():
+        prefix = os.path.join(root, name, name)
+        os.makedirs(os.path.dirname(prefix), exist_ok=True)
+        print(f"[gen] {name}: {spec}", flush=True)
+        g = make_powerlaw_graph(**spec)
+        write_dataset(g, prefix)
+        deg = np.asarray([len(n) for n in g.neighbors])
+        print(f"[gen] {name}: {len(g.edges)} edges, mean deg "
+              f"{deg.mean():.1f}, p99 {np.percentile(deg, 99):.0f}, "
+              f"max {deg.max()}", flush=True)
+        # train-subgraph walks for the unsupervised runs (reference
+        # utils.py:97-103 semantics; 25 walks to bound runtime — stated)
+        is_train = g.is_train
+        sub_neighbors = [
+            nbrs[is_train[nbrs]] if is_train[i] else nbrs[:0]
+            for i, nbrs in enumerate(g.neighbors)
+        ]
+        pairs = run_random_walks(
+            sub_neighbors, np.flatnonzero(is_train), num_walks=25,
+            walk_len=5, rng=np.random.default_rng(7),
+        )
+        write_walks(prefix + "-walks.txt", pairs, g.node_ids)
+        prefixes[name] = (prefix, spec)
+    return prefixes
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true",
+                    help="small graphs + few steps (pipeline smoke)")
+    ap.add_argument("--out", default=os.path.join(REPO, "benchmarks",
+                                                  "RESULTS.md"))
+    ap.add_argument("--root", default="/tmp/graphsage_proxy_data")
+    args = ap.parse_args()
+
+    from graphsage_tpu.evaluation import evaluate_embeddings
+    from graphsage_tpu.train.config import TrainFlags
+    from graphsage_tpu.train.supervised import train as train_sup
+    from graphsage_tpu.train.unsupervised import train as train_unsup
+
+    prefixes = gen_datasets(args.root, args.quick)
+    rows = []
+
+    def sup_flags(prefix, name, **kw):
+        base = dict(
+            train_prefix=prefix, base_log_dir=os.path.join(args.root,
+                                                           "logs", name),
+            epochs=2 if args.quick else 10,
+            max_total_steps=30 if args.quick else 10**9,
+            batch_size=512, samples_1=25, samples_2=10,
+            dim_1=128, dim_2=128, max_degree=128,
+            validate_iter=5000, validate_batch_size=256,
+            print_every=200, learning_rate=0.01, seed=123,
+        )
+        if args.quick:  # pipeline smoke: tiny model, few steps
+            base.update(batch_size=64, samples_1=5, samples_2=5,
+                        dim_1=16, dim_2=16, max_degree=32)
+        base.update(kw)
+        return TrainFlags(**base)
+
+    for name, (prefix, spec) in prefixes.items():
+        sigmoid = bool(spec["multilabel"])
+        for model in ("graphsage_mean", "graphsage_maxpool",
+                      "graphsage_seq"):
+            t0 = time.time()
+            flags = sup_flags(prefix, name, model=model, sigmoid=sigmoid)
+            print(f"[sup] {name} {model} ...", flush=True)
+            res = train_sup(flags)
+            rows.append((name, f"supervised {model}",
+                         res["test_f1_mic"], res["test_f1_mac"],
+                         time.time() - t0))
+            print(f"[sup] {name} {model}: test micro-F1 "
+                  f"{res['test_f1_mic']:.4f} ({time.time()-t0:.0f}s)",
+                  flush=True)
+
+        # unsupervised mean + logistic probe (reference eval_scripts path)
+        t0 = time.time()
+        flags = sup_flags(
+            prefix, name, model="graphsage_mean",
+            learning_rate=2e-6 if not args.quick else 1e-5,
+            epochs=1, max_total_steps=200 if args.quick else 3000,
+            max_degree=100, random_context=True, save_embeddings=True,
+        )
+        print(f"[unsup] {name} ...", flush=True)
+        res = train_unsup(flags)
+        scores = evaluate_embeddings(prefix, res["log_dir"], "test",
+                                     seed=1)
+        rows.append((name, "unsupervised mean + logreg",
+                     scores["test_f1"], float("nan"), time.time() - t0))
+        feat_scores = evaluate_embeddings(prefix, "feat", "test", seed=1)
+        rows.append((name, "raw features + logreg (baseline)",
+                     feat_scores["test_f1"], float("nan"), 0.0))
+        rows.append((name, "random dummy + logreg (baseline)",
+                     scores["dummy_f1"], float("nan"), 0.0))
+        print(f"[unsup] {name}: probe micro-F1 {scores['test_f1']:.4f} "
+              f"(feat baseline {feat_scores['test_f1']:.4f})", flush=True)
+
+    lines = [
+        "# Accuracy acceptance — power-law proxy datasets",
+        "",
+        "Real PPI/Reddit are unfetchable here (zero egress); these runs",
+        "exercise the full pipeline on degree-skewed proxies matched to",
+        "the real datasets' shape (see benchmarks/accuracy_acceptance.py",
+        "for the exact generator specs). Proxy F1 is NOT comparable 1:1",
+        "to the paper's real-dataset numbers (BASELINE.md: Reddit sup",
+        "~0.950, PPI sup ~0.598, Reddit unsup+logreg ~0.897) — the",
+        "acceptance bar is: trains stably on hub-skewed graphs, beats",
+        "the raw-feature baseline, all on the real TPU path.",
+        "",
+        f"mode: {'QUICK (smoke)' if args.quick else 'full'}; "
+        f"device: {__import__('jax').devices()[0].platform}",
+        "",
+        "| dataset | run | test micro-F1 | macro-F1 | wall(s) |",
+        "|---|---|---|---|---|",
+    ]
+    for name, run, mic, mac, wall in rows:
+        mac_s = "—" if mac != mac else f"{mac:.4f}"
+        lines.append(f"| {name} | {run} | {mic:.4f} | {mac_s} | "
+                     f"{wall:.0f} |")
+    with open(args.out, "w") as fp:
+        fp.write("\n".join(lines) + "\n")
+    print("\n".join(lines))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,825 @@
+"""Hardware probe: fused gather-mean kernel variants at the Reddit
+inner-hop shape (B=5120 output rows, S=25 samples, F=640, N=100k).
+
+Run on the real TPU (one process at a time!):
+    timeout 590 python benchmarks/gather_probe.py [--dist zipf|uniform]
+
+Variants:
+  xla_f32 / xla_bf16   — jnp.take + mean (the XLA reference path)
+  plain                — current production kernel (per-sample start+wait)
+  bulkwait             — per-sample starts, ONE semaphore_wait(S) per row
+  tilewait             — per-sample starts, ONE semaphore_wait(tile_b*S)
+                         per tile (single semaphore per slot)
+  hot<K>               — degree-ordered hot block of K rows VMEM-resident:
+                         hot samples are VMEM copies (no DMA), cold ones
+                         DMA; per-row bulk wait on a prefetched cold count
+
+Timing: device->host float() fetch is the only reliable barrier on the
+axon runtime (CLAUDE.md hazards); best-of-3 trials of 50 iters.
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+import graphsage_tpu.train  # noqa: F401  (persistent compile cache)
+
+N = 100_000
+F = 640
+B = 1024  # per-chunk rows (production kernel chunks at 1024)
+S = 25
+TILE_B = 8
+ITERS = 5
+
+
+def make_ids(dist: str, rng: np.random.Generator, n_steps: int):
+    """[n_steps, B, S] int32 sample ids. zipf ~ degree-sorted power law."""
+    if dist == "uniform":
+        return rng.integers(0, N, (n_steps, B, S), dtype=np.int32)
+    # zipf over ranks 1..N (alpha ~1.05): node id = rank - 1 (table is
+    # degree-ordered so hot nodes have small ids)
+    alpha = 1.05
+    ranks = np.arange(1, N + 1, dtype=np.float64)
+    p = ranks ** -alpha
+    p /= p.sum()
+    flat = rng.choice(N, size=n_steps * B * S, p=p).astype(np.int32)
+    return flat.reshape(n_steps, B, S)
+
+
+# ---------------------------------------------------------------- variants
+
+
+def xla_gather_mean(features, idx):
+    rows = jnp.take(features, idx, axis=0)
+    return rows.astype(jnp.float32).mean(axis=1)
+
+
+def _plain_kernel(idx_ref, feat_ref, out_ref, scratch, sems, *, S, F,
+                  tile_b, n_buf):
+    t = pl.program_id(0)
+    n_tiles = pl.num_programs(0)
+
+    def issue(tile, slot):
+        def body(r, _):
+            for s in range(S):
+                pltpu.make_async_copy(
+                    feat_ref.at[idx_ref[tile * tile_b + r, s]],
+                    scratch.at[slot, r * S + s],
+                    sems.at[slot, r],
+                ).start()
+            return 0
+
+        jax.lax.fori_loop(0, tile_b, body, 0)
+
+    def wait(slot):
+        def body(r, _):
+            for s in range(S):
+                pltpu.make_async_copy(
+                    feat_ref.at[0], scratch.at[slot, r * S + s],
+                    sems.at[slot, r],
+                ).wait()
+            return 0
+
+        jax.lax.fori_loop(0, tile_b, body, 0)
+
+    slot = jax.lax.rem(t, n_buf)
+
+    @pl.when(t == 0)
+    def _():
+        for k in range(n_buf - 1):
+            @pl.when(k < n_tiles)
+            def _():
+                issue(k, k)
+
+    @pl.when(t + n_buf - 1 < n_tiles)
+    def _():
+        issue(t + n_buf - 1, jax.lax.rem(t + n_buf - 1, n_buf))
+
+    wait(slot)
+    block = scratch[slot].astype(jnp.float32).reshape(tile_b, S, F)
+    out_ref[:, :] = jnp.sum(block, axis=1) * (1.0 / S)
+
+
+def _bulkwait_kernel(idx_ref, feat_ref, out_ref, scratch, sems, *, S, F,
+                     tile_b, n_buf):
+    """Per-sample DMA starts; per-row wait is ONE region-sized dma_wait
+    (DMA semaphores count 32-byte granules — hardware-probed — so a wait
+    whose dst spans the row's S scratch slots consumes exactly the S
+    row-copies' signals)."""
+    t = pl.program_id(0)
+    n_tiles = pl.num_programs(0)
+
+    def issue(tile, slot):
+        def body(r, _):
+            for s in range(S):
+                pltpu.make_async_copy(
+                    feat_ref.at[idx_ref[tile * tile_b + r, s]],
+                    scratch.at[slot, r * S + s],
+                    sems.at[slot, r],
+                ).start()
+            return 0
+
+        jax.lax.fori_loop(0, tile_b, body, 0)
+
+    def wait(slot):
+        def body(r, _):
+            pltpu.make_async_copy(
+                feat_ref.at[pl.ds(0, S)],
+                scratch.at[slot, pl.ds(r * S, S)],
+                sems.at[slot, r],
+            ).wait()
+            return 0
+
+        jax.lax.fori_loop(0, tile_b, body, 0)
+
+    slot = jax.lax.rem(t, n_buf)
+
+    @pl.when(t == 0)
+    def _():
+        for k in range(n_buf - 1):
+            @pl.when(k < n_tiles)
+            def _():
+                issue(k, k)
+
+    @pl.when(t + n_buf - 1 < n_tiles)
+    def _():
+        issue(t + n_buf - 1, jax.lax.rem(t + n_buf - 1, n_buf))
+
+    wait(slot)
+    block = scratch[slot].astype(jnp.float32).reshape(tile_b, S, F)
+    out_ref[:, :] = jnp.sum(block, axis=1) * (1.0 / S)
+
+
+def _tilewait_kernel(idx_ref, feat_ref, out_ref, scratch, sems, *, S, F,
+                     tile_b, n_buf):
+    """Per-sample DMA starts onto ONE semaphore per slot; a single
+    region-sized dma_wait per tile consumes all tile_b*S signals
+    (granule-counting semantics)."""
+    t = pl.program_id(0)
+    n_tiles = pl.num_programs(0)
+
+    def issue(tile, slot):
+        def body(r, _):
+            for s in range(S):
+                pltpu.make_async_copy(
+                    feat_ref.at[idx_ref[tile * tile_b + r, s]],
+                    scratch.at[slot, r * S + s],
+                    sems.at[slot],
+                ).start()
+            return 0
+
+        jax.lax.fori_loop(0, tile_b, body, 0)
+
+    slot = jax.lax.rem(t, n_buf)
+
+    @pl.when(t == 0)
+    def _():
+        for k in range(n_buf - 1):
+            @pl.when(k < n_tiles)
+            def _():
+                issue(k, k)
+
+    @pl.when(t + n_buf - 1 < n_tiles)
+    def _():
+        issue(t + n_buf - 1, jax.lax.rem(t + n_buf - 1, n_buf))
+
+    pltpu.make_async_copy(
+        feat_ref.at[pl.ds(0, tile_b * S)], scratch.at[slot],
+        sems.at[slot],
+    ).wait()
+    block = scratch[slot].astype(jnp.float32).reshape(tile_b, S, F)
+    out_ref[:, :] = jnp.sum(block, axis=1) * (1.0 / S)
+
+
+def _hot_kernel(idx_ref, ncold_ref, feat_ref, hot_ref, out_ref, scratch,
+                sems, *, S, F, tile_b, n_buf, K):
+    """Hot block [K, F] VMEM-resident: samples with id < K are VMEM
+    copies (no DMA machinery); cold samples DMA from HBM. Waits are
+    per-sample, predicated on the same coldness test."""
+    t = pl.program_id(0)
+    n_tiles = pl.num_programs(0)
+
+    def issue(tile, slot):
+        def body(r, _):
+            for s in range(S):
+                i = idx_ref[tile * tile_b + r, s]
+
+                @pl.when(i >= K)
+                def _():
+                    pltpu.make_async_copy(
+                        feat_ref.at[i],
+                        scratch.at[slot, r * S + s],
+                        sems.at[slot, r],
+                    ).start()
+
+            return 0
+
+        jax.lax.fori_loop(0, tile_b, body, 0)
+
+    def fill_hot(tile, slot):
+        def body(r, _):
+            for s in range(S):
+                i = idx_ref[tile * tile_b + r, s]
+
+                @pl.when(i < K)
+                def _():
+                    scratch[slot, r * S + s] = hot_ref[i]
+
+            return 0
+
+        jax.lax.fori_loop(0, tile_b, body, 0)
+
+    def wait(tile, slot):
+        def body(r, _):
+            for s in range(S):
+                i = idx_ref[tile * tile_b + r, s]
+
+                @pl.when(i >= K)
+                def _():
+                    pltpu.make_async_copy(
+                        feat_ref.at[0], scratch.at[slot, r * S + s],
+                        sems.at[slot, r],
+                    ).wait()
+
+            return 0
+
+        jax.lax.fori_loop(0, tile_b, body, 0)
+
+    slot = jax.lax.rem(t, n_buf)
+
+    @pl.when(t == 0)
+    def _():
+        for k in range(n_buf - 1):
+            @pl.when(k < n_tiles)
+            def _():
+                issue(k, k)
+
+    @pl.when(t + n_buf - 1 < n_tiles)
+    def _():
+        issue(t + n_buf - 1, jax.lax.rem(t + n_buf - 1, n_buf))
+
+    fill_hot(t, slot)
+    wait(t, slot)
+    block = scratch[slot].astype(jnp.float32).reshape(tile_b, S, F)
+    out_ref[:, :] = jnp.sum(block, axis=1) * (1.0 / S)
+
+
+def _hotmx_kernel(idx_dma_ref, nb_ref, idx_vec_ref, feat_ref, hot_ref,
+                  out_ref, scratch, sems, *, S, SW, F, tile_b, n_buf, K):
+    """Hot rows via MXU, cold rows via bucketed DMA.
+
+    The table is degree-ordered so ids < K are the hot set, resident in
+    VMEM (hot_ref [K, F]). Per output row the VECTOR units compute the
+    hot contribution as onehot-counts @ hot_block — zero scalar-core
+    work. Cold ids arrive compacted to the left of idx_dma (tail =
+    dummy zero row), and the scalar core issues ceil(ncold/4)*4 DMAs
+    through ONE lax.switch per row over statically-unrolled buckets —
+    cost scales with the cold count without per-sample branches or
+    dynamic-trip loops (both hardware-measured slower). Waits are one
+    region-sized dma_wait per row (granule-counting semaphores)."""
+    t = pl.program_id(0)
+    n_tiles = pl.num_programs(0)
+    NB = SW // 4 + 1  # bucket count: 0, 4, ..., SW cold DMAs
+
+    def issue(tile, slot):
+        def body(r, _):
+            row = tile * tile_b + r
+
+            def make_branch(j):
+                def br():
+                    for s in range(4 * j):
+                        pltpu.make_async_copy(
+                            feat_ref.at[idx_dma_ref[row, s]],
+                            scratch.at[slot, r * SW + s],
+                            sems.at[slot, r],
+                        ).start()
+
+                return br
+
+            jax.lax.switch(nb_ref[row],
+                           [make_branch(j) for j in range(NB)])
+            return 0
+
+        jax.lax.fori_loop(0, tile_b, body, 0)
+
+    def wait(tile, slot):
+        def body(r, _):
+            row = tile * tile_b + r
+
+            def make_branch(j):
+                def br():
+                    if j > 0:
+                        pltpu.make_async_copy(
+                            feat_ref.at[pl.ds(0, 4 * j)],
+                            scratch.at[slot, pl.ds(r * SW, 4 * j)],
+                            sems.at[slot, r],
+                        ).wait()
+
+                return br
+
+            jax.lax.switch(nb_ref[row],
+                           [make_branch(j) for j in range(NB)])
+            return 0
+
+        jax.lax.fori_loop(0, tile_b, body, 0)
+
+    slot = jax.lax.rem(t, n_buf)
+
+    @pl.when(t == 0)
+    def _():
+        for k in range(n_buf - 1):
+            @pl.when(k < n_tiles)
+            def _():
+                issue(k, k)
+
+    @pl.when(t + n_buf - 1 < n_tiles)
+    def _():
+        issue(t + n_buf - 1, jax.lax.rem(t + n_buf - 1, n_buf))
+
+    # hot contribution while cold DMAs fly: counts @ hot block (MXU)
+    idx_vec = idx_vec_ref[:, :]                      # [tile_b, S] int32
+    C = jnp.zeros((tile_b, K), jnp.float32)
+    iota_k = jax.lax.broadcasted_iota(jnp.int32, (tile_b, K), 1)
+    for s in range(S):
+        C = C + (idx_vec[:, s:s + 1] == iota_k).astype(jnp.float32)
+    hot_sum = jnp.dot(C, hot_ref[:, :],
+                      preferred_element_type=jnp.float32)
+
+    wait(t, slot)
+    # cold sum: only the first 4*nb scratch slots are live this step
+    # (rest is stale from earlier tiles); padded slots hold the zero row
+    nc = jnp.sum((idx_vec >= K).astype(jnp.int32), axis=1)  # [tile_b]
+    live = 4 * ((nc + 3) // 4)
+    iota_s = jax.lax.broadcasted_iota(jnp.int32, (tile_b, SW), 1)
+    # f32 mask: Mosaic can't minor-dim-expand i1 vectors
+    mask = (iota_s < live[:, None]).astype(jnp.float32)
+    block = scratch[slot].astype(jnp.float32).reshape(tile_b, SW, F)
+    # stale slots may hold garbage/NaN: select, don't multiply by 0
+    block = jnp.where(mask[:, :, None] > 0.0, block, 0.0)
+    cold_sum = jnp.sum(block, axis=1)
+    out_ref[:, :] = (hot_sum + cold_sum) * (1.0 / S)
+
+
+def _coldsw_kernel(idx_dma_ref, nb_ref, mask_ref, feat_ref, out_ref,
+                   scratch, sems, *, S, SW, F, tile_b, n_buf):
+    """Cold-side only: switch-bucketed DMA issue (buckets of 4), one
+    region wait per row. Output = sum(live scratch)/S — the hot
+    contribution is added OUTSIDE (see _hotcount_kernel)."""
+    t = pl.program_id(0)
+    n_tiles = pl.num_programs(0)
+    NB = SW // 4 + 1
+
+    def issue(tile, slot):
+        def body(r, _):
+            row = tile * tile_b + r
+
+            def make_branch(j):
+                def br():
+                    for s in range(4 * j):
+                        pltpu.make_async_copy(
+                            feat_ref.at[idx_dma_ref[row, s]],
+                            scratch.at[slot, r * SW + s],
+                            sems.at[slot, r],
+                        ).start()
+
+                return br
+
+            jax.lax.switch(nb_ref[row],
+                           [make_branch(j) for j in range(NB)])
+            return 0
+
+        jax.lax.fori_loop(0, tile_b, body, 0)
+
+    def wait(tile, slot):
+        def body(r, _):
+            row = tile * tile_b + r
+
+            def make_branch(j):
+                def br():
+                    if j > 0:
+                        pltpu.make_async_copy(
+                            feat_ref.at[pl.ds(0, 4 * j)],
+                            scratch.at[slot, pl.ds(r * SW, 4 * j)],
+                            sems.at[slot, r],
+                        ).wait()
+
+                return br
+
+            jax.lax.switch(nb_ref[row],
+                           [make_branch(j) for j in range(NB)])
+            return 0
+
+        jax.lax.fori_loop(0, tile_b, body, 0)
+
+    slot = jax.lax.rem(t, n_buf)
+
+    @pl.when(t == 0)
+    def _():
+        for k in range(n_buf - 1):
+            @pl.when(k < n_tiles)
+            def _():
+                issue(k, k)
+
+    @pl.when(t + n_buf - 1 < n_tiles)
+    def _():
+        issue(t + n_buf - 1, jax.lax.rem(t + n_buf - 1, n_buf))
+
+    wait(t, slot)
+    # mask_ref [tile_b, SW] f32 (XLA-precomputed: 1 where slot < 4*nb):
+    # slots beyond the issued buckets are STALE — select, don't multiply
+    block = scratch[slot].astype(jnp.float32).reshape(tile_b, SW, F)
+    block = jnp.where(mask_ref[:, :][:, :, None] > 0.0, block, 0.0)
+    out_ref[:, :] = jnp.sum(block, axis=1) * (1.0 / S)
+
+
+def _hotcount_kernel(idx_ref, hot_ref, out_ref, *, S, F, tile_b, K):
+    """Hot-side only: per 128-row tile, build onehot counts C [tile_b, K]
+    on the VPU and one FULL-M MXU matmul C @ H. Zero scalar-core work."""
+    idx_vec = idx_ref[:, :]
+    C = jnp.zeros((tile_b, K), jnp.float32)
+    iota_k = jax.lax.broadcasted_iota(jnp.int32, (tile_b, K), 1)
+    for s in range(S):
+        C = C + (idx_vec[:, s:s + 1] == iota_k).astype(jnp.float32)
+    out_ref[:, :] = jnp.dot(
+        C.astype(jnp.bfloat16), hot_ref[:, :],
+        preferred_element_type=jnp.float32,
+    ) * (1.0 / S)
+
+
+def build_call(kind, dt, n_buf=2, tile_b=TILE_B, K=1024):
+    """Returns a jitted fn(idx, feats_view[, hot_block]) — the tables are
+    ARGUMENTS, never closure captures (remote compile rejects big
+    embedded constants, CLAUDE.md)."""
+    Bp = B
+    n_tiles = Bp // tile_b
+    dt = jnp.dtype(dt)
+    R = 2 if dt == jnp.bfloat16 else 1
+    scratch = pltpu.VMEM((n_buf, tile_b * S, R, F // R), dt)
+    out_shape = jax.ShapeDtypeStruct((Bp, F), jnp.float32)
+    params = dict(
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=Bp * S * F,
+            bytes_accessed=Bp * S * F * dt.itemsize + Bp * F * 4,
+            transcendentals=0,
+        ),
+    )
+
+    if kind in ("plain", "bulkwait"):
+        kern = _plain_kernel if kind == "plain" else _bulkwait_kernel
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_tiles,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            out_specs=pl.BlockSpec((tile_b, F), lambda t, i: (t, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[scratch, pltpu.SemaphoreType.DMA((n_buf,
+                                                              tile_b))],
+        )
+        f = pl.pallas_call(
+            functools.partial(kern, S=S, F=F, tile_b=tile_b, n_buf=n_buf),
+            grid_spec=grid_spec, out_shape=out_shape, **params,
+        )
+        return jax.jit(f)
+    if kind == "tilewait":
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_tiles,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            out_specs=pl.BlockSpec((tile_b, F), lambda t, i: (t, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[scratch, pltpu.SemaphoreType.DMA((n_buf,))],
+        )
+        f = pl.pallas_call(
+            functools.partial(_tilewait_kernel, S=S, F=F, tile_b=tile_b,
+                              n_buf=n_buf),
+            grid_spec=grid_spec, out_shape=out_shape, **params,
+        )
+        return jax.jit(f)
+    if kind == "hot":
+        hot_view = pl.BlockSpec(memory_space=pltpu.VMEM)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,  # idx, ncold
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),   # full table (HBM)
+                hot_view,                                # hot block (VMEM)
+            ],
+            out_specs=pl.BlockSpec((tile_b, F), lambda t, i, n: (t, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[scratch, pltpu.SemaphoreType.DMA((n_buf,
+                                                              tile_b))],
+        )
+        f = pl.pallas_call(
+            functools.partial(_hot_kernel, S=S, F=F, tile_b=tile_b,
+                              n_buf=n_buf, K=K),
+            grid_spec=grid_spec, out_shape=out_shape, **params,
+        )
+
+        def call(idx, feats_view, hot_block):
+            ncold = jnp.sum((idx >= K).astype(jnp.int32), axis=1)
+            return f(idx, ncold, feats_view, hot_block)
+
+        return jax.jit(call)
+    if kind == "hotmx":
+        SW = -(-S // 4) * 4  # scratch row width: buckets of 4
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,  # idx_dma [B, SW], nb [B]
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec((tile_b, S), lambda t, i, n: (t, 0),
+                             memory_space=pltpu.VMEM),   # raw idx
+                pl.BlockSpec(memory_space=pltpu.ANY),    # table (HBM)
+                pl.BlockSpec(memory_space=pltpu.VMEM),   # hot block
+            ],
+            out_specs=pl.BlockSpec((tile_b, F), lambda t, i, n: (t, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((n_buf, tile_b * SW, R, F // R), dt),
+                pltpu.SemaphoreType.DMA((n_buf, tile_b)),
+            ],
+        )
+        f = pl.pallas_call(
+            functools.partial(_hotmx_kernel, S=S, SW=SW, F=F,
+                              tile_b=tile_b, n_buf=n_buf, K=K),
+            grid_spec=grid_spec, out_shape=out_shape, **params,
+        )
+
+        def call(idx, feats_view, hot_block):
+            is_cold = idx >= K
+            nc = jnp.sum(is_cold.astype(jnp.int32), axis=1)
+            nb = (nc + 3) // 4
+            # cold ids compacted left (stable), tail = dummy zero row N
+            order = jnp.argsort(
+                (~is_cold).astype(jnp.int32), axis=1, stable=True
+            )
+            idx_sorted = jnp.take_along_axis(idx, order, axis=1)
+            pos = jax.lax.broadcasted_iota(jnp.int32, idx.shape, 1)
+            idx_dma = jnp.where(pos < nc[:, None], idx_sorted, N)
+            if SW > S:
+                idx_dma = jnp.concatenate(
+                    [idx_dma,
+                     jnp.full((idx.shape[0], SW - S), N, jnp.int32)],
+                    axis=1,
+                )
+            return f(idx_dma, nb, idx, feats_view, hot_block)
+
+        return jax.jit(call)
+    if kind in ("coldsw", "hc"):
+        SW = -(-S // 4) * 4
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,  # idx_dma [B, SW], nb [B]
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec((tile_b, SW), lambda t, i, n: (t, 0),
+                             memory_space=pltpu.VMEM),   # live mask
+                pl.BlockSpec(memory_space=pltpu.ANY),    # table (HBM)
+            ],
+            out_specs=pl.BlockSpec((tile_b, F), lambda t, i, n: (t, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((n_buf, tile_b * SW, R, F // R), dt),
+                pltpu.SemaphoreType.DMA((n_buf, tile_b)),
+            ],
+        )
+        cold_f = pl.pallas_call(
+            functools.partial(_coldsw_kernel, S=S, SW=SW, F=F,
+                              tile_b=tile_b, n_buf=n_buf),
+            grid_spec=grid_spec, out_shape=out_shape, **params,
+        )
+
+        HOT_TILE = 128
+        hot_f = pl.pallas_call(
+            functools.partial(_hotcount_kernel, S=S, F=F,
+                              tile_b=HOT_TILE, K=K),
+            grid=(Bp // HOT_TILE,),
+            in_specs=[
+                pl.BlockSpec((HOT_TILE, S), lambda t: (t, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),   # hot block bf16
+            ],
+            out_specs=pl.BlockSpec((HOT_TILE, F), lambda t: (t, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=out_shape,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=110 * 1024 * 1024,
+            ),
+        )
+
+        def prep(idx):
+            # top_k sorts descending: cold ids (>= K) land first
+            idx_sorted, _ = jax.lax.top_k(idx, S)
+            nc = jnp.sum((idx >= K).astype(jnp.int32), axis=1)
+            nb = (nc + 3) // 4
+            pos = jax.lax.broadcasted_iota(jnp.int32, idx.shape, 1)
+            idx_dma = jnp.where(pos < nc[:, None], idx_sorted, N)
+            if SW > S:
+                idx_dma = jnp.concatenate(
+                    [idx_dma,
+                     jnp.full((idx.shape[0], SW - S), N, jnp.int32)],
+                    axis=1,
+                )
+            posw = jax.lax.broadcasted_iota(jnp.int32, (idx.shape[0], SW),
+                                            1)
+            mask = (posw < (4 * nb)[:, None]).astype(jnp.float32)
+            return idx_dma, nb, mask
+
+        if kind == "coldsw":
+            def call(idx, feats_view):
+                idx_dma, nb, mask = prep(idx)
+                return cold_f(idx_dma, nb, mask, feats_view)
+
+            return jax.jit(call)
+
+        def call(idx, feats_view, hot_block_bf16):
+            idx_dma, nb, mask = prep(idx)
+            cold = cold_f(idx_dma, nb, mask, feats_view)
+            hot = hot_f(idx, hot_block_bf16)
+            return cold + hot
+
+        return jax.jit(call)
+    if kind == "hotcount":
+        HOT_TILE = 128
+        hot_f = pl.pallas_call(
+            functools.partial(_hotcount_kernel, S=S, F=F,
+                              tile_b=HOT_TILE, K=K),
+            grid=(Bp // HOT_TILE,),
+            in_specs=[
+                pl.BlockSpec((HOT_TILE, S), lambda t: (t, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((HOT_TILE, F), lambda t: (t, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=out_shape,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=110 * 1024 * 1024,
+            ),
+        )
+        return jax.jit(lambda idx, hb: hot_f(idx, hb))
+    if kind == "prep":
+        def call(idx, _fv):
+            idx_sorted, _ = jax.lax.top_k(idx, S)
+            nc = jnp.sum((idx >= K).astype(jnp.int32), axis=1)
+            nb = (nc + 3) // 4
+            pos = jax.lax.broadcasted_iota(jnp.int32, idx.shape, 1)
+            idx_dma = jnp.where(pos < nc[:, None], idx_sorted, N)
+            # fold into an [B, F]-shaped output so bench() can chain it
+            return (
+                jnp.zeros((idx.shape[0], F), jnp.float32)
+                + (idx_dma.sum() + nb.sum()).astype(jnp.float32) * 1e-12
+            )
+
+        return jax.jit(call)
+    raise ValueError(kind)
+
+
+INNER = 20  # gathers per dispatch: amortizes the ~1ms tunnel dispatch
+
+
+def bench(fn, idx_steps, args_fn, ref_out=None):
+    """Times INNER chained gathers per dispatch (fori_loop inside jit) so
+    per-dispatch overhead doesn't drown sub-ms kernel differences. The
+    loop ends on idx_steps[(INNER-1) % len] — ref_out (computed on that
+    set) checks correctness without a second compiled executable."""
+
+    def many(idx_all, *extra):
+        def body(i, acc):
+            idx = jax.lax.dynamic_index_in_dim(
+                idx_all, jax.lax.rem(i, idx_all.shape[0]), keepdims=False
+            )
+            # fold acc in so iterations are sequenced (no DCE/overlap)
+            idx = idx + (acc[0, 0] * 0.0).astype(jnp.int32)
+            return fn(idx, *extra)
+
+        return jax.lax.fori_loop(
+            0, INNER, body,
+            jnp.zeros((idx_all.shape[1], F), jnp.float32),
+        )
+
+    many_j = jax.jit(many)
+    out = many_j(idx_steps, *args_fn())
+    float(out[0, 0])  # barrier (block_until_ready lies on axon)
+    if ref_out is not None:
+        err = float(jnp.abs(out - ref_out).max())
+        assert err < 5e-2, f"mismatch: {err}"
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            out = many_j(idx_steps, *args_fn())
+        float(out[0, 0])
+        best = min(best, time.perf_counter() - t0)
+    return best / (ITERS * INNER)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dist", default="zipf", choices=("zipf", "uniform"))
+    ap.add_argument("--variants", default=(
+        "xla_f32,xla_bf16,plain,bulkwait,tilewait,hot1024,hot4096"
+    ))
+    args = ap.parse_args()
+
+    rng = np.random.default_rng(0)
+    feats_np = np.vstack([
+        rng.standard_normal((N, F)).astype(np.float32),
+        np.zeros((1, F), np.float32),
+    ])
+    feats_f32 = jnp.asarray(feats_np)
+    feats_bf16 = jnp.asarray(feats_np, dtype=jnp.bfloat16)
+    fview = {
+        "float32": feats_f32.reshape(N + 1, 1, F),
+        "bfloat16": feats_bf16.reshape(N + 1, 2, F // 2),
+    }
+    ids = jnp.asarray(make_ids(args.dist, rng, 4))
+    frac_hot1k = float((np.asarray(ids) < 1024).mean())
+    frac_hot4k = float((np.asarray(ids) < 4096).mean())
+    print(f"# dist={args.dist} B={B} S={S} F={F} N={N} "
+          f"hot-coverage: K=1024 {frac_hot1k:.2f}, K=4096 {frac_hot4k:.2f}",
+          flush=True)
+
+    xla = jax.jit(xla_gather_mean)
+    ref_out = xla(feats_f32, ids[(INNER - 1) % ids.shape[0]])
+    float(ref_out[0, 0])
+    for v in args.variants.split(","):
+        v = v.strip()
+        try:
+            if v == "xla_f32":
+                fn = lambda idx, ft: xla(ft, idx)  # noqa: E731
+                extra = lambda: (feats_f32,)  # noqa: E731
+            elif v == "xla_bf16":
+                fn = lambda idx, ft: xla(ft, idx)  # noqa: E731
+                extra = lambda: (feats_bf16,)  # noqa: E731
+            elif v == "xla_sorted":
+                # mean is order-invariant: sorted rows improve HBM page
+                # locality if the gather is bandwidth-shaped
+                fn = lambda idx, ft: xla(ft, jnp.sort(idx, axis=1))  # noqa: E731
+                extra = lambda: (feats_f32,)  # noqa: E731
+            elif v == "plain_sorted":
+                base = build_call("plain", "float32")
+                fn = lambda idx, fv, b=base: b(jnp.sort(idx, axis=1), fv)  # noqa: E731
+                extra = lambda: (fview["float32"],)  # noqa: E731
+            elif v.startswith("plain_t"):  # plain_t<r>b<n>: tile/buffers
+                tb, nb = v[7:].split("b")
+                fn = build_call("plain", "float32", tile_b=int(tb),
+                                n_buf=int(nb))
+                extra = lambda: (fview["float32"],)  # noqa: E731
+            elif v.startswith("hc"):
+                K = int(v[2:])
+                fn = build_call("hc", "float32", K=K)
+                hb16 = feats_bf16[:K]
+                extra = lambda hb=hb16: (fview["float32"], hb)  # noqa: E731
+            elif v.startswith("coldsw"):
+                K = int(v[6:])
+                fn = build_call("coldsw", "float32", K=K)
+                extra = lambda: (fview["float32"],)  # noqa: E731
+            elif v.startswith("hotcount"):
+                K = int(v[8:])
+                fn = build_call("hotcount", "float32", K=K)
+                hb16 = feats_bf16[:K]
+                extra = lambda hb=hb16: (hb,)  # noqa: E731
+            elif v == "prep":
+                fn = build_call("prep", "float32", K=2048)
+                extra = lambda: (fview["float32"],)  # noqa: E731
+            elif v.startswith("hotmx"):
+                parts = v[5:].split("t")
+                K = int(parts[0])
+                tb = int(parts[1]) if len(parts) > 1 else TILE_B
+                fn = build_call("hotmx", "float32", K=K, tile_b=tb)
+                hot_block = feats_f32[:K]
+                extra = lambda hb=hot_block: (fview["float32"], hb)  # noqa: E731
+            elif v.startswith("hot"):
+                K = int(v[3:])
+                fn = build_call("hot", "float32", K=K)
+                hot_block = fview["float32"][:K]
+                extra = lambda hb=hot_block: (fview["float32"], hb)  # noqa: E731
+            elif v.endswith("_bf16"):
+                fn = build_call(v[:-5], "bfloat16")
+                extra = lambda: (fview["bfloat16"],)  # noqa: E731
+            else:
+                fn = build_call(v, "float32")
+                extra = lambda: (fview["float32"],)  # noqa: E731
+            timing_only = (v == "xla_f32" or v == "prep"
+                           or v.startswith(("coldsw", "hotcount")))
+            dt = bench(fn, ids, extra,
+                       ref_out=None if timing_only else ref_out)
+            rows_per_s = B * S / dt
+            print(f"{v:12s} {dt*1e3:8.3f} ms   {rows_per_s/1e6:7.1f} "
+                  f"Mrow/s", flush=True)
+        except Exception as e:  # noqa: BLE001 — probe keeps going
+            print(f"{v:12s} FAILED: {type(e).__name__}: {e}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -128,6 +128,135 @@ def _sample_partition_edges(rng, classes, num_nodes, num_classes,
     ).astype(np.int32)
 
 
+def make_powerlaw_graph(
+    num_nodes: int = 15_000,
+    num_classes: int = 41,
+    feat_dim: int = 602,
+    avg_degree: float = 30.0,
+    alpha: float = 1.0,
+    inter_frac: float = 0.15,
+    feature_snr: float = 1.0,
+    multilabel: bool = False,
+    val_frac: float = 0.15,
+    test_frac: float = 0.15,
+    seed: int = 0,
+) -> GraphData:
+    """Degree-corrected planted-partition graph (DC-SBM): power-law
+    degree propensities (zipf ``alpha`` over a per-class rank) +
+    community-aligned labels — the degree skew (hubs, frontier
+    concentration) real PPI/Reddit graphs have and the uniform
+    community fixture hides.
+
+    ``inter_frac`` of edges cross communities; features carry a class
+    signal scaled by ``feature_snr`` over unit noise, so aggregation
+    over neighborhoods (mostly same-class) denoises — the structural
+    property GraphSAGE exploits on the real datasets.
+    """
+    rng = np.random.default_rng(seed)
+    classes = rng.integers(0, num_classes, size=num_nodes)
+
+    # per-node degree propensity: zipf over a random within-class rank
+    theta = np.empty(num_nodes, dtype=np.float64)
+    for c in range(num_classes):
+        members = np.flatnonzero(classes == c)
+        ranks = rng.permutation(len(members)) + 1
+        theta[members] = ranks ** -alpha
+    n_edges = int(avg_degree * num_nodes / 2)
+
+    def draw(members, size):
+        p = theta[members] / theta[members].sum()
+        return members[rng.choice(len(members), size=size, p=p)]
+
+    chunks = []
+    n_inter = int(n_edges * inter_frac)
+    all_nodes = np.arange(num_nodes)
+    chunks.append(np.stack(
+        [draw(all_nodes, n_inter), draw(all_nodes, n_inter)], axis=1
+    ))
+    per_class = rng.multinomial(
+        n_edges - n_inter,
+        np.bincount(classes, weights=theta, minlength=num_classes)
+        / theta.sum(),
+    )
+    for c in range(num_classes):
+        members = np.flatnonzero(classes == c)
+        if len(members) > 1 and per_class[c] > 0:
+            chunks.append(np.stack(
+                [draw(members, per_class[c]), draw(members, per_class[c])],
+                axis=1,
+            ))
+    pairs = np.concatenate(chunks, axis=0)
+    pairs = pairs[pairs[:, 0] != pairs[:, 1]]
+    lo = np.minimum(pairs[:, 0], pairs[:, 1]).astype(np.int64)
+    hi = np.maximum(pairs[:, 0], pairs[:, 1]).astype(np.int64)
+    keys = np.unique(lo * num_nodes + hi)
+    edge_arr = np.stack(
+        [keys // num_nodes, keys % num_nodes], axis=1
+    ).astype(np.int32)
+
+    feats = rng.normal(0, 1.0, size=(num_nodes, feat_dim)).astype(
+        np.float32
+    )
+    # class signature spread over multiple dims (not one-hot-trivial)
+    proto = rng.normal(0, 1.0, size=(num_classes, feat_dim)).astype(
+        np.float32
+    )
+    proto /= np.linalg.norm(proto, axis=1, keepdims=True)
+    feats += feature_snr * proto[classes]
+
+    order = rng.permutation(num_nodes)
+    n_val = int(val_frac * num_nodes)
+    n_test = int(test_frac * num_nodes)
+    is_val = np.zeros(num_nodes, dtype=bool)
+    is_test = np.zeros(num_nodes, dtype=bool)
+    is_val[order[:n_val]] = True
+    is_test[order[n_val:n_val + n_test]] = True
+
+    train_removed = (
+        is_val[edge_arr[:, 0]] | is_test[edge_arr[:, 0]]
+        | is_val[edge_arr[:, 1]] | is_test[edge_arr[:, 1]]
+    )
+    neighbors: list[np.ndarray] = [
+        np.zeros((0,), np.int32) for _ in range(num_nodes)
+    ]
+    flat = np.concatenate([edge_arr, edge_arr[:, ::-1]], axis=0)
+    srt = flat[np.argsort(flat[:, 0], kind="stable")]
+    starts = np.searchsorted(srt[:, 0], np.arange(num_nodes + 1))
+    for i in range(num_nodes):
+        neighbors[i] = srt[starts[i]:starts[i + 1], 1].astype(np.int32)
+
+    node_ids = [str(i) for i in range(num_nodes)]
+    if multilabel:
+        # each node carries its community label + a degree-correlated
+        # secondary label (PPI-style correlated multilabels)
+        class_map = {}
+        for i, nid in enumerate(node_ids):
+            vec = [0] * num_classes
+            vec[int(classes[i])] = 1
+            vec[int((classes[i] * 7 + 1) % num_classes)] = int(
+                rng.random() < 0.5
+            )
+            class_map[nid] = vec
+    else:
+        class_map = {nid: int(classes[i]) for i, nid in enumerate(node_ids)}
+    labels = dense_labels(class_map, node_ids, num_classes)
+
+    return GraphData(
+        node_ids=node_ids,
+        id2idx={nid: i for i, nid in enumerate(node_ids)},
+        features=feats,
+        class_map=class_map,
+        labels=labels,
+        num_classes=num_classes,
+        is_val=is_val,
+        is_test=is_test,
+        edges=edge_arr,
+        train_removed=train_removed,
+        neighbors=neighbors,
+        walks=None,
+    )
+
+
 def write_dataset(graph: GraphData, prefix: str) -> None:
     """Write a GraphData in the public on-disk contract:
     -G.json / -id_map.json / -class_map.json / -feats.npy."""

@@ -189,3 +189,49 @@ def test_fast_synthetic_partition_structure():
     classes = np.argmax(g.labels, axis=1)
     same = (classes[g.edges[:, 0]] == classes[g.edges[:, 1]]).mean()
     assert same > 0.7
+
+
+def test_powerlaw_graph_statistics():
+    """Degree-corrected SBM proxy: power-law degree skew, community
+    structure, valid arrays, dataset-contract roundtrip."""
+    import numpy as np
+
+    from graphsage_tpu.data.graph import validate_graph
+    from graphsage_tpu.data.synthetic import make_powerlaw_graph
+
+    g = make_powerlaw_graph(
+        num_nodes=3000, num_classes=8, feat_dim=16, avg_degree=20,
+        alpha=1.0, seed=2,
+    )
+    validate_graph(g)
+    deg = np.asarray([len(n) for n in g.neighbors])
+    assert deg.mean() > 8
+    # heavy tail: the top 1% of nodes hold >10% of edge endpoints, and
+    # the max degree is far above the mean (neither holds for the
+    # uniform community fixture)
+    srt = np.sort(deg)[::-1]
+    assert srt[:30].sum() / deg.sum() > 0.10
+    assert deg.max() > 8 * deg.mean()
+    # labels community-aligned
+    classes = np.argmax(g.labels, axis=1)
+    same = (classes[g.edges[:, 0]] == classes[g.edges[:, 1]]).mean()
+    assert same > 0.7
+
+
+def test_powerlaw_multilabel_roundtrip(tmp_path):
+    from graphsage_tpu.data.io import load_data
+    from graphsage_tpu.data.synthetic import (
+        make_powerlaw_graph,
+        write_dataset,
+    )
+
+    g = make_powerlaw_graph(
+        num_nodes=400, num_classes=6, feat_dim=8, avg_degree=10,
+        multilabel=True, seed=3,
+    )
+    prefix = str(tmp_path / "pl" / "pl")
+    write_dataset(g, prefix)
+    g2 = load_data(prefix)
+    assert g2.num_nodes == g.num_nodes
+    assert g2.labels.shape == (g.num_nodes, 6)
+    assert (g2.labels.sum(axis=1) >= 1).all()
