@@ -72,6 +72,37 @@ def make_embed_step(config: UnsupervisedConfig):
     return jax.jit(embed_step)
 
 
+def make_embed_sweep(config: UnsupervisedConfig, batch_size: int,
+                     num_nodes: int):
+    """Whole-graph embedding export in ONE dispatch: fori_loop over the
+    dummy-padded node-id stream, l2-normalized rows into a device buffer
+    (the per-batch feed loop at reference unsupervised_train.py:94-117
+    costs one ~40ms tunnel round-trip per batch on remoted TPUs).
+
+    sweep(params, features, adj, ids_all, rng) -> [n_b*B, dim]
+    """
+    from graphsage_tpu.models.graphsage import l2_normalize, sage_embed
+
+    def sweep(params, features, adj, ids_all, rng):
+        n_b = ids_all.shape[0] // batch_size
+
+        def body(i, buf):
+            ids = jax.lax.dynamic_slice(
+                ids_all, (i * batch_size,), (batch_size,)
+            )
+            out = sage_embed(params, features, adj, ids, rng,
+                             config.sage, deterministic=True)
+            out = l2_normalize(out, 1)
+            return jax.lax.dynamic_update_slice(
+                buf, out, (i * batch_size, 0)
+            )
+
+        init = jnp.zeros((n_b * batch_size, config.sage.output_dim))
+        return jax.lax.fori_loop(0, n_b, body, init)
+
+    return jax.jit(sweep)
+
+
 def make_unsup_eval_step(config: UnsupervisedConfig):
     def eval_step(params, features, adj, b1, b2, mask, neg_cdf, rng):
         loss, aux = unsupervised_loss(
@@ -239,7 +270,6 @@ def train(flags: TrainFlags, graph=None) -> dict:
         )
 
     eval_step = make_unsup_eval_step(config)
-    embed_step = make_embed_step(config)
     eval_key = jax.random.key(flags.seed + 1)
     full_val = flags.validate_batch_size <= 0
     if full_val:
@@ -356,14 +386,18 @@ def train(flags: TrainFlags, graph=None) -> dict:
 
     print("Optimization Finished!")
     if flags.save_embeddings:
-        def embed_fn(batch):
-            return embed_step(
-                params, features, full_adj,
-                jnp.asarray(batch.batch1), jnp.asarray(batch.batch2),
-                neg_cdf, eval_key,
-            )
-
-        save_val_embeddings(embed_fn, batcher, graph, log_dir)
+        # whole-graph export in ONE dispatch (vs one per batch)
+        embed_sweep = make_embed_sweep(config, B, dummy)
+        n_b = max(1, -(-graph.num_nodes // B))
+        ids_all = np.full((n_b * B,), dummy, dtype=np.int32)
+        ids_all[: graph.num_nodes] = np.arange(graph.num_nodes)
+        rows = np.asarray(embed_sweep(
+            params, features, full_adj, jnp.asarray(ids_all), eval_key
+        ))[: graph.num_nodes]
+        os.makedirs(log_dir, exist_ok=True)
+        np.save(os.path.join(log_dir, "val.npy"), rows)
+        with open(os.path.join(log_dir, "val.txt"), "w") as fp:
+            fp.write("\n".join(map(str, graph.node_ids)))
 
     if flags.checkpoint_dir:
         ckpt.save(flags.checkpoint_dir, params, opt_state, total_steps)
