@@ -132,8 +132,9 @@ def main():
         flags = sup_flags(
             prefix, name, model="graphsage_mean",
             learning_rate=2e-6 if not args.quick else 1e-5,
-            epochs=1, max_total_steps=200 if args.quick else 3000,
-            max_degree=100, random_context=True, save_embeddings=True,
+            epochs=1, max_total_steps=60 if args.quick else 3000,
+            max_degree=32 if args.quick else 100,
+            random_context=True, save_embeddings=True,
         )
         print(f"[unsup] {name} ...", flush=True)
         res = train_unsup(flags)

@@ -11,6 +11,16 @@ parity experiments.
 Because padded rows re-sample neighbors *with replacement* when
 deg < max_degree (adjacency.py), a uniform column draw is a uniform draw
 over the node's neighbor multiset in both modes.
+
+Replacement semantics differ for HIGH-degree nodes (deg > max_degree):
+the reference's shuffle-slice draws ``num_samples`` distinct columns
+per call (without replacement among the max_degree retained neighbors;
+neigh_samplers.py:26-28), whereas ``independent`` draws each column
+i.i.d. — the same neighbor can repeat within one node's fanout. Both
+are unbiased single-draw-marginal estimators of the neighbor mean; the
+independent draw has slightly higher variance on hub nodes. Use
+``shared_perm`` where the without-replacement property itself matters
+for a parity experiment.
 """
 
 from __future__ import annotations
