@@ -52,6 +52,12 @@ def _add_common(p: argparse.ArgumentParser, defaults: TrainFlags):
     p.add_argument("--log_device_placement", action="store_true",
                    help=argparse.SUPPRESS)
     # TPU-native additions
+    p.add_argument("--sampler_mode",
+                   choices=("independent", "shared_perm", "first_k"),
+                   default=d.sampler_mode,
+                   help="neighbor sampling: per-node draws (default), "
+                        "the reference's shared-permutation quirk, or "
+                        "deterministic first-k (parity tests)")
     p.add_argument("--fused_gather", action=argparse.BooleanOptionalAction,
                    default=d.fused_gather,
                    help="Pallas fused gather+mean for the innermost hop")

@@ -63,6 +63,11 @@ class TrainFlags:
     max_total_steps: int = 10**10
 
     # TPU-native additions (no reference equivalent)
+    sampler_mode: str = "independent"  # per-node draws; "shared_perm"
+                                       # reproduces the reference's
+                                       # one-permutation-per-call quirk
+                                       # (neigh_samplers.py:26-28);
+                                       # "first_k" is deterministic
     fused_gather: bool = True   # Pallas gather+mean for the innermost hop
     dedup_gather: bool = False  # skip duplicate-sample DMAs (low-degree win)
     feature_dtype: str = "float32"  # "bfloat16" halves gather bandwidth

@@ -48,6 +48,7 @@ def build_supervised_config(flags: TrainFlags, graph) -> SupervisedConfig:
         identity_dim=flags.identity_dim,
         num_nodes=graph.num_nodes,
         dropout=flags.dropout,
+        sampler_mode=flags.sampler_mode,
         fused_gather=flags.fused_gather,
         dedup_gather=flags.dedup_gather,
     )

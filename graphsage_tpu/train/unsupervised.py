@@ -49,6 +49,7 @@ def build_unsupervised_config(flags: TrainFlags, graph) -> UnsupervisedConfig:
         identity_dim=flags.identity_dim,
         num_nodes=graph.num_nodes,
         dropout=flags.dropout,
+        sampler_mode=flags.sampler_mode,
         fused_gather=flags.fused_gather,
         dedup_gather=flags.dedup_gather,
     )
