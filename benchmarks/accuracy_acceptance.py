@@ -43,7 +43,7 @@ def gen_datasets(root: str, quick: bool):
         "proxy-ppi": dict(
             num_nodes=4_000 if quick else 15_000, num_classes=121,
             feat_dim=50, avg_degree=29, alpha=1.0, multilabel=True,
-            feature_snr=1.5, seed=11,
+            feature_snr=0.5, seed=11,  # weak feats: aggregation must help
         ),
         "proxy-reddit": dict(
             num_nodes=10_000 if quick else 50_000, num_classes=41,
@@ -78,6 +78,21 @@ def gen_datasets(root: str, quick: bool):
     return prefixes
 
 
+HEADER = [
+    "# Accuracy acceptance — power-law proxy datasets",
+    "",
+    "Real PPI/Reddit are unfetchable here (zero egress); these runs",
+    "exercise the full pipeline on degree-skewed proxies matched to",
+    "the real datasets' shape (see benchmarks/accuracy_acceptance.py",
+    "for the exact generator specs). Proxy F1 is NOT comparable 1:1",
+    "to the paper's real-dataset numbers (BASELINE.md: Reddit sup",
+    "~0.950, PPI sup ~0.598, Reddit unsup+logreg ~0.897) — the",
+    "acceptance bar is: trains stably on hub-skewed graphs, beats",
+    "the raw-feature baseline, all on the real TPU path.",
+    "",
+]
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true",
@@ -85,6 +100,8 @@ def main():
     ap.add_argument("--out", default=os.path.join(REPO, "benchmarks",
                                                   "RESULTS.md"))
     ap.add_argument("--root", default="/tmp/graphsage_proxy_data")
+    ap.add_argument("--datasets", default=None,
+                    help="comma-separated subset, e.g. proxy-ppi")
     args = ap.parse_args()
 
     from graphsage_tpu.evaluation import evaluate_embeddings
@@ -93,7 +110,24 @@ def main():
     from graphsage_tpu.train.unsupervised import train as train_unsup
 
     prefixes = gen_datasets(args.root, args.quick)
+    if args.datasets:
+        keep = set(args.datasets.split(","))
+        prefixes = {k: v for k, v in prefixes.items() if k in keep}
     rows = []
+
+    def flush_rows():
+        """Write the table after every run so a timeout loses nothing."""
+        lines = list(HEADER)
+        lines.append(f"mode: {'QUICK (smoke)' if args.quick else 'full'}; "
+                     f"device: {__import__('jax').devices()[0].platform}")
+        lines += ["", "| dataset | run | test micro-F1 | macro-F1 | "
+                  "wall(s) |", "|---|---|---|---|---|"]
+        for name, run, mic, mac, wall in rows:
+            mac_s = "—" if mac != mac else f"{mac:.4f}"
+            lines.append(f"| {name} | {run} | {mic:.4f} | {mac_s} | "
+                         f"{wall:.0f} |")
+        with open(args.out, "w") as fp:
+            fp.write("\n".join(lines) + "\n")
 
     def sup_flags(prefix, name, **kw):
         base = dict(
@@ -126,6 +160,7 @@ def main():
             print(f"[sup] {name} {model}: test micro-F1 "
                   f"{res['test_f1_mic']:.4f} ({time.time()-t0:.0f}s)",
                   flush=True)
+            flush_rows()
 
         # unsupervised mean + logistic probe (reference eval_scripts path)
         t0 = time.time()
@@ -149,32 +184,11 @@ def main():
                      scores["dummy_f1"], float("nan"), 0.0))
         print(f"[unsup] {name}: probe micro-F1 {scores['test_f1']:.4f} "
               f"(feat baseline {feat_scores['test_f1']:.4f})", flush=True)
+        flush_rows()
 
-    lines = [
-        "# Accuracy acceptance — power-law proxy datasets",
-        "",
-        "Real PPI/Reddit are unfetchable here (zero egress); these runs",
-        "exercise the full pipeline on degree-skewed proxies matched to",
-        "the real datasets' shape (see benchmarks/accuracy_acceptance.py",
-        "for the exact generator specs). Proxy F1 is NOT comparable 1:1",
-        "to the paper's real-dataset numbers (BASELINE.md: Reddit sup",
-        "~0.950, PPI sup ~0.598, Reddit unsup+logreg ~0.897) — the",
-        "acceptance bar is: trains stably on hub-skewed graphs, beats",
-        "the raw-feature baseline, all on the real TPU path.",
-        "",
-        f"mode: {'QUICK (smoke)' if args.quick else 'full'}; "
-        f"device: {__import__('jax').devices()[0].platform}",
-        "",
-        "| dataset | run | test micro-F1 | macro-F1 | wall(s) |",
-        "|---|---|---|---|---|",
-    ]
-    for name, run, mic, mac, wall in rows:
-        mac_s = "—" if mac != mac else f"{mac:.4f}"
-        lines.append(f"| {name} | {run} | {mic:.4f} | {mac_s} | "
-                     f"{wall:.0f} |")
-    with open(args.out, "w") as fp:
-        fp.write("\n".join(lines) + "\n")
-    print("\n".join(lines))
+    flush_rows()
+    with open(args.out) as fp:
+        print(fp.read())
 
 
 if __name__ == "__main__":

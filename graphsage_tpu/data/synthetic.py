@@ -227,16 +227,20 @@ def make_powerlaw_graph(
 
     node_ids = [str(i) for i in range(num_nodes)]
     if multilabel:
-        # each node carries its community label + a degree-correlated
-        # secondary label (PPI-style correlated multilabels)
-        class_map = {}
-        for i, nid in enumerate(node_ids):
-            vec = [0] * num_classes
-            vec[int(classes[i])] = 1
-            vec[int((classes[i] * 7 + 1) % num_classes)] = int(
-                rng.random() < 0.5
-            )
-            class_map[nid] = vec
+        # PPI-style dense multilabels: real PPI averages ~36 positives
+        # out of 121 (~30% density). Each community gets a Bernoulli(0.3)
+        # signature over the label set; nodes take their community's
+        # signature with 10% per-label flip noise. A sparse 1-2 positive
+        # scheme makes a 0.5-threshold sigmoid predict all-zeros
+        # (micro-F1 0) — density is what makes the metric meaningful.
+        signatures = rng.random((num_classes, num_classes)) < 0.3
+        flips = rng.random((num_nodes, num_classes)) < 0.1
+        label_mat = signatures[classes] ^ flips
+        label_mat[np.arange(num_nodes), classes] = True  # >=1 positive
+        class_map = {
+            nid: [int(v) for v in label_mat[i]]
+            for i, nid in enumerate(node_ids)
+        }
     else:
         class_map = {nid: int(classes[i]) for i, nid in enumerate(node_ids)}
     labels = dense_labels(class_map, node_ids, num_classes)
