@@ -76,6 +76,23 @@ def put_global(array, mesh: Mesh, spec: P):
     )
 
 
+def replicate_unsharded(tree, mesh: Mesh):
+    """Commit every leaf that isn't already mesh-sharded to a replicated
+    NamedSharding(mesh, P()). Freshly-initialized params are uncommitted
+    (jit moves them freely) but orbax-restored ones come back committed
+    to their target leaf's sharding — without this, restored replicated
+    params (single device) clash with mesh-sharded leaves inside jit."""
+    rep = NamedSharding(mesh, P())
+
+    def place(x):
+        sh = getattr(x, "sharding", None)
+        if isinstance(sh, NamedSharding) and sh.spec != P():
+            return x  # already row-sharded over the mesh (e.g. embeds)
+        return jax.device_put(x, rep)
+
+    return jax.tree.map(place, tree)
+
+
 def host_array(x) -> np.ndarray:
     """Fetch a device array to a full host copy on EVERY process.
 

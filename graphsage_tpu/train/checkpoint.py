@@ -41,7 +41,16 @@ def latest_step(root: str) -> int | None:
 
 
 def restore(root: str, params_like, opt_state_like):
-    """-> (params, opt_state, step) from the newest checkpoint, or None."""
+    """-> (params, opt_state, step) from the newest checkpoint, or None.
+
+    Falls back to a pad/truncate restore when only array *row padding*
+    differs: the row-sharded identity table is zero-padded to a multiple
+    of graph_shards (parallel/graph_sharded.py::shard_rows), so the same
+    logical table has shard-count-dependent global shapes. The pad rows
+    are zeros past row N and are never indexed, so truncating/zero-
+    padding them on restore is exact — this is what lets a checkpoint
+    written under one --graph_shards resume under another.
+    """
     step = latest_step(root)
     if step is None:
         return None
@@ -50,6 +59,34 @@ def restore(root: str, params_like, opt_state_like):
         "opt_state": opt_state_like,
         "step": step,
     }
-    with ocp.StandardCheckpointer() as saver:
-        restored = saver.restore(_ckpt_path(root, step), target)
+    path = _ckpt_path(root, step)
+    try:
+        with ocp.StandardCheckpointer() as saver:
+            restored = saver.restore(path, target)
+    except ValueError:
+        restored = _restore_relaxed(path, target)
     return restored["params"], restored["opt_state"], int(restored["step"])
+
+
+def _restore_relaxed(path: str, target):
+    """PyTree restore with strict=False ArrayRestoreArgs: stored arrays
+    are truncated / zero-padded along existing dims to the target shape
+    (trailing rows only — safe for zero-pad-rows tables, wrong for
+    genuinely resized layers, which strict mode still rejects first)."""
+
+    def args_for(x):
+        if hasattr(x, "sharding"):
+            return ocp.ArrayRestoreArgs(
+                sharding=x.sharding, global_shape=x.shape,
+                dtype=x.dtype, strict=False,
+            )
+        return ocp.RestoreArgs()
+
+    restore_args = jax.tree.map(args_for, target)
+    with ocp.Checkpointer(ocp.PyTreeCheckpointHandler()) as ckptr:
+        return ckptr.restore(
+            path,
+            args=ocp.args.PyTreeRestore(
+                item=target, restore_args=restore_args
+            ),
+        )

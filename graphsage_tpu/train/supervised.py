@@ -429,7 +429,11 @@ def _train_sharded(flags: TrainFlags, graph) -> dict:
 
     from jax.sharding import PartitionSpec as P
 
-    from graphsage_tpu.parallel.distributed import host_array, put_global
+    from graphsage_tpu.parallel.distributed import (
+        host_array,
+        put_global,
+        replicate_unsharded,
+    )
     from graphsage_tpu.parallel.graph_sharded import (
         make_sharded_supervised_eval,
         shard_rows,
@@ -477,8 +481,9 @@ def _train_sharded(flags: TrainFlags, graph) -> dict:
             shard_rows(np.asarray(params["embeds"]), D)[0], mesh,
             P("graph"),
         )
+    params = replicate_unsharded(params, mesh)
     optimizer = make_optimizer(flags.learning_rate)
-    opt_state = optimizer.init(params)
+    opt_state = replicate_unsharded(optimizer.init(params), mesh)
 
     from graphsage_tpu.parallel.graph_sharded import (
         make_sharded_supervised_chunk_runner,

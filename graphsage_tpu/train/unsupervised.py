@@ -604,8 +604,11 @@ def _train_sharded(flags: TrainFlags, graph, deg, batcher: EdgeBatcher,
             shard_rows(np.asarray(params["embeds"]), D)[0], mesh,
             P("graph"),
         )
+    from graphsage_tpu.parallel.distributed import replicate_unsharded
+
+    params = replicate_unsharded(params, mesh)
     optimizer = make_optimizer(flags.learning_rate)
-    opt_state = optimizer.init(params)
+    opt_state = replicate_unsharded(optimizer.init(params), mesh)
 
     from graphsage_tpu.parallel.graph_sharded import (
         make_sharded_unsupervised_chunk_runner,

@@ -394,6 +394,31 @@ def test_graph_shards_unsup_full_val(tmp_path, toy_graph):
     assert 0.0 <= result["val_mrr"] <= 1.0
 
 
+def test_graph_shards_checkpoint_restore_different_shard_count(
+        tmp_path, toy_graph):
+    """A checkpoint written under graph_shards=4 (row-sharded identity
+    table saved per its global sharding) restores into a graph_shards=2
+    layout and training continues from the saved step."""
+    from graphsage_tpu.train.config import TrainFlags
+    from graphsage_tpu.train.supervised import train
+
+    base = dict(
+        train_prefix=str(tmp_path / "synth"),
+        epochs=1, batch_size=16, samples_1=4, samples_2=3,
+        dim_1=8, dim_2=8, max_degree=8, validate_iter=1000,
+        validate_batch_size=8, print_every=1000,
+        base_log_dir=str(tmp_path), seed=123, identity_dim=4,
+        checkpoint_dir=str(tmp_path / "ckpt"), checkpoint_every=2,
+    )
+    r1 = train(TrainFlags(**base, graph_shards=4, max_total_steps=4),
+               graph=toy_graph)
+    assert r1["steps"] >= 4
+    r2 = train(TrainFlags(**base, graph_shards=2, max_total_steps=8,
+                          resume=True), graph=toy_graph)
+    assert np.isfinite(r2["val_loss"])
+    assert r2["steps"] > r1["steps"]
+
+
 def test_sharded_unsupervised_step_runs(mesh, toy_graph):
     from graphsage_tpu.data.adjacency import build_both_adjs
     from graphsage_tpu.models.graphsage import LayerInfo, SAGEConfig
