@@ -167,6 +167,16 @@ class EdgeBatcher:
         """Random val-edge batch. ``size <= 0`` (the reference's
         validate_batch_size=-1 convention) falls back to one full batch —
         static shapes rule out a truly variable batch here."""
+        if size > self.batch_size:
+            import warnings
+
+            warnings.warn(
+                f"validate_batch_size {size} exceeds batch_size "
+                f"{self.batch_size}; validating on {self.batch_size} "
+                f"edges (the compiled batch shape). Raise --batch_size "
+                f"or use --validate_batch_size -1 for a full sweep.",
+                stacklevel=2,
+            )
         if size <= 0 or size > self.batch_size:
             size = self.batch_size
         ind = self._rng.permutation(len(self.val_pairs))[

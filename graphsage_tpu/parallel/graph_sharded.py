@@ -144,6 +144,21 @@ def suggest_capacity_factor(adj, n_shards: int, margin: float = 1.5
     return float(min(n_shards, max(1.0, factor)))
 
 
+def _global_masked_mrr(mrr, mask, axis_name: str):
+    """Exact global masked-mean MRR from per-shard masked means.
+
+    ``mrr`` is mrr_and_ranks' per-shard sum(rr*mask)/max(sum(mask),1);
+    a plain pmean would weight all shards equally, biasing the value low
+    whenever a shard's contiguous slice of a dummy-padded tail batch is
+    all padding (its mrr=0, cnt=0). Recover the masked sums and reduce
+    psum(rr_sum)/psum(cnt) instead (the form parallel/dp.py uses).
+    """
+    cnt = jnp.sum(mask)
+    return jax.lax.psum(mrr * cnt, axis_name) / jnp.maximum(
+        jax.lax.psum(cnt, axis_name), 1.0
+    )
+
+
 def _embeds_spec_tree(tree, axis_name: str):
     """PartitionSpec pytree: P(axis) for 'embeds' leaves (row-sharded
     identity table), P() (replicated) elsewhere."""
@@ -604,7 +619,7 @@ def make_sharded_unsupervised_chunk_runner(
             )(params, b1, b2, mask, step_rng, global_mask_sum)
             loss = jax.lax.psum(loss, axis_name)
             dropped_tot += jax.lax.psum(dropped, axis_name)
-            mrr = jax.lax.pmean(mrr, axis_name)
+            mrr = _global_masked_mrr(mrr, mask, axis_name)
             grads = _psum_except_embeds(grads, axis_name)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
@@ -722,7 +737,7 @@ def make_sharded_unsupervised_eval(
         aff = prediction.affinity(out1, out2)
         neg_aff = prediction.neg_cost(out1, neg)
         _, mrr = prediction.mrr_and_ranks(aff, neg_aff, mask)
-        return loss, jax.lax.pmean(mrr, axis_name), dropped
+        return loss, _global_masked_mrr(mrr, mask, axis_name), dropped
 
     rep = P()
     sh = P(axis_name)
@@ -813,7 +828,7 @@ def make_sharded_unsupervised_step(
         loss = jax.lax.psum(loss, axis_name)
         dropped = jax.lax.psum(dropped, axis_name)
         grads = _psum_except_embeds(grads, axis_name)
-        mrr = jax.lax.pmean(mrr, axis_name)
+        mrr = _global_masked_mrr(mrr, mask, axis_name)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss, mrr, out1, dropped
@@ -1006,7 +1021,7 @@ def make_sharded_unsup_eval_sweep(
             aff = prediction.affinity(out1, out2)
             neg_aff = prediction.neg_cost(out1, neg)
             _, mrr = prediction.mrr_and_ranks(aff, neg_aff, mask)
-            mrr = jax.lax.pmean(mrr, axis_name)
+            mrr = _global_masked_mrr(mrr, mask, axis_name)
             dropped = jax.lax.psum(d1 + d2 + d3, axis_name)
             return (loss_sum + loss, mrr_sum + mrr * k, cnt + k,
                     dropped_tot + dropped)

@@ -64,15 +64,54 @@ def restore(root: str, params_like, opt_state_like):
         with ocp.StandardCheckpointer() as saver:
             restored = saver.restore(path, target)
     except ValueError:
+        # The relaxed pad/truncate fallback is ONLY exact for the
+        # row-padded tables (the identity 'embeds' table and its optimizer
+        # moments, zero-padded to a multiple of graph_shards). Any other
+        # shape mismatch means the model genuinely changed (dim_1,
+        # num_classes, feature_dim, ...) — re-raise instead of silently
+        # loading zero-padded/truncated weights.
+        mismatches = _shape_mismatches(path, target)
+        if not mismatches:
+            raise
+        bad = [
+            m for m in mismatches
+            if "embeds" not in m[0] or m[1][1:] != m[2][1:]
+        ]
+        if bad:
+            raise ValueError(
+                "checkpoint is shape-incompatible with the current model "
+                "(only leading-row padding of the identity 'embeds' table "
+                f"may differ); mismatched leaves: {bad}"
+            ) from None
         restored = _restore_relaxed(path, target)
     return restored["params"], restored["opt_state"], int(restored["step"])
 
 
+def _shape_mismatches(path: str, target):
+    """[(keypath, stored_shape, target_shape)] for every array leaf whose
+    stored shape differs from the restore target's."""
+    with ocp.Checkpointer(ocp.PyTreeCheckpointHandler()) as ckptr:
+        meta = ckptr.metadata(path).item_metadata
+    stored = {
+        jax.tree_util.keystr(kp): getattr(x, "shape", None)
+        for kp, x in jax.tree_util.tree_flatten_with_path(meta)[0]
+    }
+    out = []
+    for kp, x in jax.tree_util.tree_flatten_with_path(target)[0]:
+        ks = jax.tree_util.keystr(kp)
+        tgt = getattr(x, "shape", None)
+        st = stored.get(ks)
+        if st is not None and tgt is not None and tuple(st) != tuple(tgt):
+            out.append((ks, tuple(st), tuple(tgt)))
+    return out
+
+
 def _restore_relaxed(path: str, target):
     """PyTree restore with strict=False ArrayRestoreArgs: stored arrays
-    are truncated / zero-padded along existing dims to the target shape
-    (trailing rows only — safe for zero-pad-rows tables, wrong for
-    genuinely resized layers, which strict mode still rejects first)."""
+    are truncated / zero-padded along existing dims to the target shape.
+    Only reachable after restore() has verified every mismatch is a
+    leading-row resize of the 'embeds' tables (zero pad rows past row N,
+    never indexed — truncating/zero-padding them is exact)."""
 
     def args_for(x):
         if hasattr(x, "sharding"):

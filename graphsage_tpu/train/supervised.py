@@ -570,6 +570,10 @@ def _train_sharded(flags: TrainFlags, graph) -> dict:
     avg_time = 0.0
     timed_steps = 0
     stop = False
+    # Overflow drops accumulate ON DEVICE (async add, no fetch) so every
+    # chunk's count is surfaced, while the host still syncs only at
+    # print boundaries.
+    pending_dropped = jnp.zeros((), jnp.int32)
     if flags.profile_dir:
         jax.profiler.start_trace(flags.profile_dir)
     chunk = max(1, min(flags.print_every, flags.validate_iter))
@@ -586,6 +590,7 @@ def _train_sharded(flags: TrainFlags, graph) -> dict:
                 params, opt_state, loop_key, feat_sh, train_adj_sh,
                 ids_perm, labels_table_dev, it, n,
             )
+            pending_dropped = pending_dropped + dropped
             if (it + n - 1) % flags.validate_iter < n:
                 vbs = (max(flags.validate_batch_size, 1)
                        if flags.validate_batch_size != -1
@@ -610,7 +615,8 @@ def _train_sharded(flags: TrainFlags, graph) -> dict:
                 avg_time * (timed_steps - n) + time.time() - t
             ) / timed_steps
             if (total_steps - 1) % flags.print_every < n:
-                note_dropped(dropped, "train chunk")
+                note_dropped(pending_dropped, "train chunks")
+                pending_dropped = jnp.zeros((), jnp.int32)
                 ids_np = host_array(last_ids)
                 keep = ids_np != dummy
                 f1_mic, f1_mac = calc_f1(
@@ -645,6 +651,7 @@ def _train_sharded(flags: TrainFlags, graph) -> dict:
 
     if flags.profile_dir:
         jax.profiler.stop_trace()
+    note_dropped(pending_dropped, "train chunks")
 
     print("Optimization Finished!")
     val_cost, vp, vl, duration = run_eval(batcher.val_nodes)

@@ -661,6 +661,10 @@ def _train_sharded(flags: TrainFlags, graph, deg, batcher: EdgeBatcher,
     avg_time = 0.0
     timed_steps = 0
     stop = False
+    # Overflow drops accumulate ON DEVICE (async add, no fetch) so every
+    # chunk's count is surfaced, while the host still syncs only at
+    # print boundaries.
+    pending_dropped = jnp.zeros((), jnp.int32)
     if flags.profile_dir:
         jax.profiler.start_trace(flags.profile_dir)
     chunk = max(1, min(flags.print_every, flags.validate_iter))
@@ -679,6 +683,7 @@ def _train_sharded(flags: TrainFlags, graph, deg, batcher: EdgeBatcher,
                 params, opt_state, shadow, loop_key, feat_sh,
                 train_adj_sh, pairs_perm, neg_cdf, it, n,
             )
+            pending_dropped = pending_dropped + dropped
             if (it + n - 1) % flags.validate_iter < n:
                 if full_val:
                     val_cost, val_mrr, vdropped = eval_sweep(
@@ -705,7 +710,8 @@ def _train_sharded(flags: TrainFlags, graph, deg, batcher: EdgeBatcher,
                 avg_time * (timed_steps - n) + time.time() - t
             ) / timed_steps
             if (total_steps - 1) % flags.print_every < n:
-                note_dropped(dropped, "train chunk")
+                note_dropped(pending_dropped, "train chunks")
+                pending_dropped = jnp.zeros((), jnp.int32)
                 scal = {
                     "train_loss": float(loss),
                     "train_mrr": float(mrr),
@@ -741,6 +747,7 @@ def _train_sharded(flags: TrainFlags, graph, deg, batcher: EdgeBatcher,
 
     if flags.profile_dir:
         jax.profiler.stop_trace()
+    note_dropped(pending_dropped, "train chunks")
     logger.close()
 
     print("Optimization Finished!")

@@ -82,6 +82,34 @@ def test_exchange_gather_reports_dropped(mesh):
     assert (np.asarray(out)[3:] == 0.0).all()
 
 
+def test_global_masked_mrr_ignores_empty_shards(mesh):
+    """A dummy-padded tail batch whose slice on most shards is ALL
+    padding must not bias the MRR low: the global value is the masked
+    mean over real pairs only (psum(rr*cnt)/psum(cnt)), not a pmean of
+    per-shard means."""
+    from graphsage_tpu.nn.prediction import mrr_and_ranks
+    from graphsage_tpu.parallel.graph_sharded import _global_masked_mrr
+
+    # per-shard batch of 2; only shard 0 has real pairs (rr = 1 and 1/3)
+    aff = np.zeros((D, 2), np.float32)
+    neg_aff = np.full((D, 2, 4), -1.0, np.float32)
+    neg_aff[0, 1, :2] = 1.0  # shard 0 pair 1: rank 3 -> rr 1/3
+    mask = np.zeros((D, 2), np.float32)
+    mask[0] = 1.0
+
+    def f(aff, neg_aff, mask):
+        _, mrr = mrr_and_ranks(aff[0], neg_aff[0], mask[0])
+        return _global_masked_mrr(mrr, mask[0], "graph")
+
+    out = shard_map(
+        f, mesh=mesh,
+        in_specs=(P("graph"), P("graph"), P("graph")),
+        out_specs=P(), check_rep=False,
+    )(jnp.asarray(aff), jnp.asarray(neg_aff), jnp.asarray(mask))
+    np.testing.assert_allclose(float(out), (1.0 + 1.0 / 3.0) / 2.0,
+                               rtol=1e-6)
+
+
 def test_suggest_capacity_factor():
     from graphsage_tpu.parallel.graph_sharded import (
         suggest_capacity_factor,

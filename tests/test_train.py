@@ -171,6 +171,34 @@ def test_checkpoint_resume(tmp_path, graph):
     )
 
 
+def test_checkpoint_rejects_resized_model(tmp_path, graph):
+    """Resuming with genuinely changed model shapes (dim_1 here) must
+    error, not silently pad/truncate weights — only leading-row resizes
+    of the identity 'embeds' table qualify for the relaxed restore."""
+    import jax
+    import pytest
+
+    from graphsage_tpu.models.supervised import (
+        init_supervised_params,
+        make_optimizer,
+    )
+    from graphsage_tpu.train import checkpoint as ckpt
+    from graphsage_tpu.train.supervised import build_supervised_config, train
+
+    flags = tiny_flags(
+        tmp_path, epochs=1, max_total_steps=2,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    train(flags, graph=graph)
+
+    resized = dataclasses.replace(flags, dim_1=16, dim_2=16)
+    config = build_supervised_config(resized, graph)
+    params0 = init_supervised_params(jax.random.key(0), config)
+    opt0 = make_optimizer(resized.learning_rate).init(params0)
+    with pytest.raises(ValueError, match="shape-incompatible"):
+        ckpt.restore(flags.checkpoint_dir, params0, opt0)
+
+
 def test_cli_walks_and_dataset_roundtrip(tmp_path, graph):
     from graphsage_tpu.cli import main
     from graphsage_tpu.data.io import load_data
