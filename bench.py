@@ -11,13 +11,20 @@ degree-ordered ids — real Reddit/PPI frontiers are hub-dominated and a
 uniform-random graph hides exactly the skew (hub reuse, capacity
 pressure) that matters; pass --dist uniform for the uniform variant.
 
+Sampling uses the library default ``shared_perm`` — the reference's
+own one-permutation-per-call semantics (neigh_samplers.py:24-29),
+which is also ~22% faster per step than per-node independent draws
+(benchmarks/sampler_probe.py).
+
 ``vs_baseline`` divides by a MEASURED reference number:
 benchmarks/BASELINE_MEASURED.json, produced by
 benchmarks/reference_baseline.py — a tf.compat.v1 re-enactment of the
 reference's supervised step (same shape, per-step feed_dict) timed on
 this machine's CPU (the reference pins TF1.8-GPU, unavailable here).
 ``roofline_frac`` reports step bytes-moved against the v5e ~819 GB/s
-HBM peak so the absolute headroom is visible.
+HBM peak; ``wall_frac`` reports the BINDING constraint — the fused
+inner-hop gather's achieved row-DMAs/s against the measured ~36M/s
+scalar-issue wall (benchmarks/KERNEL_NOTES.md facts 2-4).
 
 Prints exactly one JSON line.
 """
@@ -43,6 +50,9 @@ DIMS = (128, 128)
 WARMUP = 5
 ITERS = 100
 HBM_PEAK_BYTES_PER_S = 819e9  # TPU v5e (lite) HBM bandwidth
+# measured scalar-issue wall for single-row DMAs on this chip
+# (benchmarks/KERNEL_NOTES.md round-2 measurements)
+ROW_DMA_WALL_PER_S = 36.1e6
 
 
 def zipf_adjacency(rng, alpha: float = 1.05):
@@ -171,6 +181,11 @@ def main():
     adj_bytes = (BATCH * (1 + FANOUTS[1])) * MAX_DEGREE * 4
     bytes_per_step = feat_bytes + adj_bytes
     roofline_frac = bytes_per_step / sec_per_step / HBM_PEAK_BYTES_PER_S
+    # the fused inner-hop gather is the step's dominant, issue-bound
+    # component; its achieved rows/s vs the measured wall is the honest
+    # utilization number for this workload
+    inner_rows = BATCH * FANOUTS[1] * FANOUTS[0]
+    wall_frac = inner_rows / sec_per_step / ROW_DMA_WALL_PER_S
 
     print(json.dumps({
         "metric": "supervised_train_edges_per_sec",
@@ -182,6 +197,7 @@ def main():
         "graph_dist": dist,
         "sec_per_step": round(sec_per_step, 6),
         "roofline_frac": round(roofline_frac, 4),
+        "wall_frac": round(wall_frac, 4),
     }))
 
 

@@ -54,7 +54,7 @@ class SAGEConfig:
     identity_dim: int = 0  # >0 adds a trainable [N+1, id_dim] table
     num_nodes: int = 0     # N (for the identity table; row N is the dummy)
     dropout: float = 0.0
-    sampler_mode: str = "independent"  # or "shared_perm"
+    sampler_mode: str = "shared_perm"  # reference parity + fast; or "independent"
     fused_gather: bool = False  # Pallas gather+mean for the innermost hop
     dedup_gather: bool = False  # skip duplicate-sample DMAs in the kernel
 
@@ -110,7 +110,7 @@ def sample_frontier(
     adj,
     ids,
     fanouts: Sequence[int],
-    mode: str = "independent",
+    mode: str = "shared_perm",
 ):
     """Expand the fanout pyramid; returns flat index arrays
     [B], [B*S_k], [B*S_k*S_{k-1}], ... (reference sample(), models.py:254-275).

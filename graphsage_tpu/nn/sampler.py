@@ -3,10 +3,18 @@
 The reference samples by gathering adjacency rows, shuffling the *columns*
 with one shared permutation per call, and slicing the first ``num_samples``
 (/root/reference/graphsage/neigh_samplers.py:24-29) — i.e. every node in
-the batch shares the same column permutation. That is a quirk, not the
-paper's semantics. We default to true per-node independent sampling
-(``mode="independent"``) and keep ``mode="shared_perm"`` for reference-
-parity experiments.
+the batch shares the same column permutation. ``mode="shared_perm"``
+reproduces that exactly and is the DEFAULT, for two reasons:
+
+1. Reference parity: the published accuracy numbers were produced with
+   this sampler.
+2. TPU cost: per-node draws need a [n, k] ``take_along_axis`` — 128k
+   element-level XLA gathers per step at the Reddit shape, measured at
+   ~1.1 ms of a 4.9 ms step (benchmarks/sampler_probe.py; shared_perm
+   cuts the full train step 22%, 5.13 -> 4.01 ms on v5e).
+
+``mode="independent"`` (true per-node i.i.d. column draws) remains
+available for experiments that want batch-decorrelated sampling.
 
 Because padded rows re-sample neighbors *with replacement* when
 deg < max_degree (adjacency.py), a uniform column draw is a uniform draw
@@ -17,10 +25,7 @@ the reference's shuffle-slice draws ``num_samples`` distinct columns
 per call (without replacement among the max_degree retained neighbors;
 neigh_samplers.py:26-28), whereas ``independent`` draws each column
 i.i.d. — the same neighbor can repeat within one node's fanout. Both
-are unbiased single-draw-marginal estimators of the neighbor mean; the
-independent draw has slightly higher variance on hub nodes. Use
-``shared_perm`` where the without-replacement property itself matters
-for a parity experiment.
+are unbiased single-draw-marginal estimators of the neighbor mean.
 """
 
 from __future__ import annotations
@@ -29,7 +34,7 @@ import jax
 import jax.numpy as jnp
 
 
-def uniform_sample(rng, adj, ids, num_samples: int, mode: str = "independent"):
+def uniform_sample(rng, adj, ids, num_samples: int, mode: str = "shared_perm"):
     """Sample ``num_samples`` neighbors for each id.
 
     Args:
@@ -37,7 +42,8 @@ def uniform_sample(rng, adj, ids, num_samples: int, mode: str = "independent"):
       adj: [N+1, max_degree] int32 padded adjacency.
       ids: [n] int32 node indices.
       num_samples: static fanout.
-      mode: "independent" (per-node draws) or "shared_perm" (reference).
+      mode: "shared_perm" (reference semantics, default) or
+        "independent" (per-node draws).
 
     Returns:
       [n, num_samples] int32 neighbor indices.
@@ -46,7 +52,7 @@ def uniform_sample(rng, adj, ids, num_samples: int, mode: str = "independent"):
     return sample_from_rows(rng, rows, num_samples, mode)
 
 
-def sample_from_rows(rng, rows, num_samples: int, mode: str = "independent"):
+def sample_from_rows(rng, rows, num_samples: int, mode: str = "shared_perm"):
     """Sample fanout columns from pre-gathered adjacency rows [n, D].
 
     Modes: "independent" (per-node uniform draws), "shared_perm" (the

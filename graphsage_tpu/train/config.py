@@ -63,7 +63,7 @@ class TrainFlags:
     max_total_steps: int = 10**10
 
     # TPU-native additions (no reference equivalent)
-    sampler_mode: str = "independent"  # per-node draws; "shared_perm"
+    sampler_mode: str = "shared_perm"  # reference semantics; or "independent"
                                        # reproduces the reference's
                                        # one-permutation-per-call quirk
                                        # (neigh_samplers.py:26-28);
