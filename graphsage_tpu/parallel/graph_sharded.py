@@ -55,7 +55,8 @@ def shard_rows(table, n_shards: int):
 
 
 def exchange_gather(local, idx, axis_name: str, capacity: int,
-                    return_dropped: bool = False):
+                    return_dropped: bool = False,
+                    split_local: bool = True):
     """Gather global rows from a row-sharded table via all-to-all.
 
     Args:
@@ -67,29 +68,60 @@ def exchange_gather(local, idx, axis_name: str, capacity: int,
       return_dropped: also return the number of THIS device's requests
         that overflowed the budget (int32 scalar) so callers can surface
         silent zero-row corruption instead of hiding it.
+      split_local: serve requests whose rows this device already owns
+        with a direct local gather instead of routing them through the
+        two all-to-alls. Bit-identical output (the same rows either
+        way), but (a) local requests stop consuming the per-destination
+        capacity budget and can never drop, and (b) the local gather
+        has no data dependency on the collectives, so XLA's scheduler
+        overlaps it with the in-flight all-to-all — the single-gather
+        piece of the SURVEY §5.8 compute/comm-overlap design. Pass
+        False to reproduce the round-2 blocking formulation for A/B
+        probes.
 
     Returns [m, ...] rows (and the dropped count if requested).
     """
     D = jax.lax.axis_size(axis_name)
     shard_size = local.shape[0]
     m = idx.shape[0]
+    bshape = (m,) + (1,) * (local.ndim - 1)
 
     owner = (idx // shard_size).astype(jnp.int32)
+
+    if split_local and D == 1:
+        rows = jnp.take(local, idx % shard_size, axis=0)
+        if return_dropped:
+            return rows, jnp.zeros((), jnp.int32)
+        return rows
+
+    if split_local:
+        me = jax.lax.axis_index(axis_name)
+        is_local = owner == me
+        local_rows = jnp.take(
+            local, jnp.where(is_local, idx % shard_size, 0), axis=0
+        )
+        local_rows = jnp.where(is_local.reshape(bshape), local_rows, 0)
+        # Route local requests to sentinel segment D: they vanish from
+        # the capacity accounting and from the send buffer (OOB scatter
+        # rows drop), leaving the budget entirely to remote requests.
+        owner = jnp.where(is_local, D, owner)
+
     order = jnp.argsort(owner, stable=True)
     sorted_idx = idx[order]
     sorted_owner = owner[order]
 
     counts = jax.ops.segment_sum(
-        jnp.ones((m,), jnp.int32), owner, num_segments=D
-    )
+        jnp.ones((m,), jnp.int32), owner, num_segments=D + 1
+    )[: D + 1]
     starts = jnp.cumsum(counts) - counts
     rank = jnp.arange(m, dtype=jnp.int32) - starts[sorted_owner]
-    valid = rank < capacity
+    remote = sorted_owner < D
+    valid = (rank < capacity) & remote
 
     # [D, capacity] local offsets into the owner's shard; overflow ranks
-    # index out of bounds and are dropped by the scatter.
+    # and sentinel owners index out of bounds and drop in the scatter.
     send = jnp.zeros((D, capacity), jnp.int32).at[
-        sorted_owner, jnp.where(valid, rank, capacity)
+        jnp.where(valid, sorted_owner, D), jnp.where(valid, rank, 0)
     ].set((sorted_idx % shard_size).astype(jnp.int32), mode="drop")
 
     # requests to me, one row per source device
@@ -100,14 +132,18 @@ def exchange_gather(local, idx, axis_name: str, capacity: int,
     # rows[s] = rows requested by device s; send each back to s
     resp = jax.lax.all_to_all(rows, axis_name, 0, 0, tiled=True)
     # resp[d, r] = row for my r-th request to owner d
-    gathered = resp[sorted_owner, jnp.clip(rank, 0, capacity - 1)]
-    gathered = jnp.where(
-        valid.reshape((m,) + (1,) * (gathered.ndim - 1)), gathered, 0
-    )
+    gathered = resp[
+        jnp.clip(sorted_owner, 0, D - 1), jnp.clip(rank, 0, capacity - 1)
+    ]
+    gathered = jnp.where(valid.reshape(bshape), gathered, 0)
     inv = jnp.argsort(order)
+    out = gathered[inv]
+    if split_local:
+        out = jnp.where(is_local.reshape(bshape), local_rows, out)
+    dropped = jnp.sum((~valid & remote).astype(jnp.int32))
     if return_dropped:
-        return gathered[inv], jnp.sum((~valid).astype(jnp.int32))
-    return gathered[inv]
+        return out, dropped
+    return out
 
 
 # Frontiers at or below this size use EXACT capacity (= m): the all-to-all
@@ -194,12 +230,26 @@ def sharded_sage_embed(
     capacity_factor: float = 4.0,
     deterministic: bool = True,
     return_stats: bool = False,
+    halo: str = "overlap",
 ):
     """sage_embed over row-sharded feat/adj: frontier expansion and all
     feature gathers ride exchange_gather; aggregation is fully local.
     With ``return_stats`` also returns the total count of this device's
     gather requests dropped by capacity overflow (zero-row corruption
     signal — callers psum and surface it).
+
+    ``halo`` selects the exchange schedule (bit-identical outputs):
+
+    - ``"overlap"`` (default, SURVEY §5.8): frontier k's FEATURE
+      exchange is issued together with the hop-k+1 ADJACENCY exchange —
+      the two have no data dependency, so XLA's async-collective
+      scheduler can keep a feature all-to-all in flight while the next
+      frontier expands; own-shard rows additionally bypass the
+      collectives entirely (exchange_gather ``split_local``) and
+      overlap as plain local gathers.
+    - ``"blocking"`` reproduces the round-2 schedule (all expansions,
+      then all feature gathers, every row through the all-to-all) for
+      A/B probes.
 
     With ``identity_dim > 0`` the trainable table lives row-sharded in
     ``params["embeds"]`` (local shard per device); its gather runs through
@@ -210,43 +260,62 @@ def sharded_sage_embed(
     D = jax.lax.axis_size(axis_name)
     fanouts = config.fanouts
     n_layers = len(fanouts)
+    split_local = halo == "overlap"
 
     dropped = jnp.zeros((), jnp.int32)
-    samples = [ids]
     keys = jax.random.split(rng, n_layers + 1)
+
+    def gather_level(s, dropped):
+        """Identity + feature rows for one frontier's ids."""
+        cap = _capacity(s.shape[0], D, capacity_factor)
+        parts = []
+        if config.identity_dim > 0:
+            rows, d = exchange_gather(
+                params["embeds"], s, axis_name, cap, return_dropped=True,
+                split_local=split_local,
+            )
+            dropped += d
+            parts.append(rows)
+        if feat_local is not None and config.feature_dim > 0:
+            feats, d = exchange_gather(
+                feat_local, s, axis_name, cap, return_dropped=True,
+                split_local=split_local,
+            )
+            dropped += d
+            parts.append(feats[:, : config.feature_dim])
+        return (
+            parts[0] if len(parts) == 1
+            else jnp.concatenate(parts, axis=1)
+        ), dropped
+
+    samples = [ids]
+    hidden = []
+    if halo == "overlap":
+        # Interleaved: level k's feature exchange rides alongside the
+        # hop-k+1 frontier expansion.
+        h, dropped = gather_level(ids, dropped)
+        hidden.append(h)
     for k in range(n_layers):
         t = n_layers - k - 1
         m = samples[k].shape[0]
         adj_rows, d = exchange_gather(
             adj_local, samples[k], axis_name,
             _capacity(m, D, capacity_factor), return_dropped=True,
+            split_local=split_local,
         )
         dropped += d
         nxt = sample_from_rows(
             keys[k], adj_rows, fanouts[t], mode=config.sampler_mode
         )
         samples.append(nxt.reshape(-1))
+        if halo == "overlap":
+            h, dropped = gather_level(samples[-1], dropped)
+            hidden.append(h)
 
-    hidden = []
-    for s in samples:
-        cap = _capacity(s.shape[0], D, capacity_factor)
-        parts = []
-        if config.identity_dim > 0:
-            rows, d = exchange_gather(
-                params["embeds"], s, axis_name, cap, return_dropped=True
-            )
-            dropped += d
-            parts.append(rows)
-        if feat_local is not None and config.feature_dim > 0:
-            feats, d = exchange_gather(
-                feat_local, s, axis_name, cap, return_dropped=True
-            )
-            dropped += d
-            parts.append(feats[:, : config.feature_dim])
-        hidden.append(
-            parts[0] if len(parts) == 1
-            else jnp.concatenate(parts, axis=1)
-        )
+    if halo != "overlap":
+        for s in samples:
+            h, dropped = gather_level(s, dropped)
+            hidden.append(h)
     out = aggregate_pyramid(
         params, hidden, ids.shape[0], config,
         rng=None if deterministic else keys[-1],

@@ -54,9 +54,21 @@ def test_exchange_gather_int_rows(mesh, np_rng):
 
 def test_exchange_gather_capacity_overflow_zeros(mesh):
     table = np.arange(16, dtype=np.float32).reshape(16, 1) + 1.0
-    # all requests hit shard 0 (rows 0..1); capacity 3 < 6 requests
-    idx = np.zeros(6, dtype=np.int32)
-    out = _replicated_gather(mesh, table, idx, capacity=3)
+    # all requests hit shard 0 (rows 0..1); capacity 3 < 6 requests.
+    # split_local=False: every device routes all 6 through the
+    # all-to-all, so the overflow behavior is device-uniform.
+    local_t, _ = shard_rows(table, D)
+    f = shard_map(
+        functools.partial(
+            exchange_gather, axis_name="graph", capacity=3,
+            split_local=False,
+        ),
+        mesh=mesh,
+        in_specs=(P("graph"), P()),
+        out_specs=P(),
+        check_rep=False,
+    )
+    out = np.asarray(f(jnp.asarray(local_t), jnp.asarray(np.zeros(6, np.int32))))
     assert (out[:3] == 1.0).all()
     assert (out[3:] == 0.0).all()
 
@@ -68,7 +80,7 @@ def test_exchange_gather_reports_dropped(mesh):
     f = shard_map(
         functools.partial(
             exchange_gather, axis_name="graph", capacity=3,
-            return_dropped=True,
+            return_dropped=True, split_local=False,
         ),
         mesh=mesh,
         in_specs=(P("graph"), P()),
@@ -80,6 +92,63 @@ def test_exchange_gather_reports_dropped(mesh):
     # 6 requests, capacity 3 -> 3 dropped on this (replicated) request set
     assert int(dropped) == 3
     assert (np.asarray(out)[3:] == 0.0).all()
+
+
+def test_exchange_gather_split_local_never_drops_own_rows(mesh):
+    """With split_local (default), a device's requests for rows it owns
+    bypass the all-to-all: they are exact regardless of capacity, and
+    only REMOTE requests count against the budget / dropped counter."""
+    table = np.arange(16, dtype=np.float32).reshape(16, 1) + 1.0
+    idx = np.zeros(6, dtype=np.int32)  # all rows owned by shard 0
+
+    def body(local, idx):
+        out, dropped = exchange_gather(
+            local, idx, axis_name="graph", capacity=3,
+            return_dropped=True,
+        )
+        return out, dropped[None]
+
+    f = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P("graph"), P()),
+        out_specs=(P("graph"), P("graph")),
+        check_rep=False,
+    )
+    local_t, _ = shard_rows(table, D)
+    out, dropped = f(jnp.asarray(local_t), jnp.asarray(idx))
+    out = np.asarray(out).reshape(D, 6)
+    dropped = np.asarray(dropped)
+    # shard 0 serves itself: all 6 exact, nothing dropped
+    assert (out[0] == 1.0).all() and dropped[0] == 0
+    # every other shard: remote, capacity 3 -> 3 good + 3 zero rows
+    assert (out[1:, :3] == 1.0).all() and (out[1:, 3:] == 0.0).all()
+    assert (dropped[1:] == 3).all()
+
+
+def test_exchange_gather_split_matches_blocking(mesh, np_rng):
+    """split_local and the round-2 blocking formulation return
+    bit-identical rows when nothing overflows."""
+    table = np_rng.standard_normal((41, 3)).astype(np.float32)
+    idx = np_rng.integers(0, 41, (29,)).astype(np.int32)
+    local_t, _ = shard_rows(table, D)
+
+    def run(split):
+        f = shard_map(
+            functools.partial(
+                exchange_gather, axis_name="graph", capacity=29,
+                split_local=split,
+            ),
+            mesh=mesh,
+            in_specs=(P("graph"), P()),
+            out_specs=P(),
+            check_rep=False,
+        )
+        return np.asarray(f(jnp.asarray(local_t), jnp.asarray(idx)))
+
+    a, b = run(True), run(False)
+    np.testing.assert_array_equal(a, b)
+    np.testing.assert_array_equal(a, table[idx])
 
 
 def test_global_masked_mrr_ignores_empty_shards(mesh):
@@ -487,3 +556,74 @@ def test_sharded_unsupervised_step_runs(mesh, toy_graph):
     assert np.isfinite(float(loss))
     assert 0.0 <= float(mrr) <= 1.0
     assert out1.shape == (B, sage.output_dim)
+
+
+def test_halo_overlap_matches_blocking_bitwise(mesh, toy_graph):
+    """The overlap halo schedule (interleaved feature/adjacency
+    exchanges + split-local fast path) matches the round-2 blocking
+    schedule: forward embeddings bitwise; grads through the row-sharded
+    identity table to float tolerance (the split-local path accumulates
+    the owner's local scatter-add separately from the all-to-all-
+    transposed remote contributions, so float summation order
+    differs)."""
+    from graphsage_tpu.data.adjacency import build_both_adjs
+    from graphsage_tpu.models.graphsage import LayerInfo, SAGEConfig
+    from graphsage_tpu.models.supervised import (
+        SupervisedConfig,
+        init_supervised_params,
+    )
+    from graphsage_tpu.parallel.graph_sharded import sharded_sage_embed
+
+    g = toy_graph
+    adj, _, _ = build_both_adjs(g, max_degree=8)
+    feats = g.padded_features()
+    sage = SAGEConfig(
+        layers=(LayerInfo(4, 8), LayerInfo(3, 8)),
+        feature_dim=feats.shape[1],
+        aggregator="mean",
+        sampler_mode="first_k",
+        identity_dim=4,
+        num_nodes=g.num_nodes,
+    )
+    sup = SupervisedConfig(sage=sage, num_classes=g.num_classes)
+    params = init_supervised_params(jax.random.key(0), sup)
+    emb_sh, _ = shard_rows(np.asarray(params["embeds"]), D)
+    params = dict(params)
+    params["embeds"] = jnp.asarray(emb_sh)
+    feat_sh, _ = shard_rows(feats, D)
+    adj_sh, _ = shard_rows(adj, D)
+    ids = jnp.asarray(np.arange(16, dtype=np.int32))
+    rng = jax.random.key(3)
+
+    def run(halo):
+        def body(params, feat_local, adj_local, ids):
+            def scalar_out(params):
+                out = sharded_sage_embed(
+                    params, feat_local, adj_local, ids, rng, sage,
+                    "graph", capacity_factor=8.0, halo=halo,
+                )
+                return jnp.sum(out * out), out
+
+            (val, out), grads = jax.value_and_grad(
+                scalar_out, has_aux=True)(params)
+            # embeds grads are per-shard (routed home); return this
+            # shard's block, everything else is replicated
+            return out, grads["embeds"], grads["aggs"][0]["self_w"]
+
+        emb_spec = P("graph")
+        f = shard_map(
+            body, mesh=mesh,
+            in_specs=({"embeds": emb_spec, "aggs": P(), "head": P()},
+                      P("graph"), P("graph"), P()),
+            out_specs=(P(), emb_spec, P()),
+            check_rep=False,
+        )
+        out, gemb, gw = f(params, jnp.asarray(feat_sh),
+                          jnp.asarray(adj_sh), ids)
+        return np.asarray(out), np.asarray(gemb), np.asarray(gw)
+
+    out_o, gemb_o, gw_o = run("overlap")
+    out_b, gemb_b, gw_b = run("blocking")
+    np.testing.assert_array_equal(out_o, out_b)
+    np.testing.assert_allclose(gemb_o, gemb_b, rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(gw_o, gw_b)
