@@ -85,6 +85,11 @@ def _add_common(p: argparse.ArgumentParser, defaults: TrainFlags):
                         "budget as a multiple of the balanced share; 0 "
                         "auto-sizes from the adjacency's shard-ownership "
                         "skew (overflowed requests are counted and warned)")
+    p.add_argument("--defer_features", action=argparse.BooleanOptionalAction,
+                   default=d.defer_features,
+                   help="don't load the feature table up front: mmap it "
+                        "and materialize only this host's --graph_shards "
+                        "row range (tables larger than one host's RAM)")
     p.add_argument("--seed", type=int, default=d.seed)
     # multi-host (P3): one process per host joins the cluster before any
     # device op; auto-detected on TPU pods, explicit for CPU/GPU clusters

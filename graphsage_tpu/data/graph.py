@@ -35,10 +35,25 @@ class GraphData:
     train_removed: np.ndarray     # [E] bool — touches a val/test endpoint
     neighbors: list         # list of [deg_i] int32 arrays, full adjacency
     walks: np.ndarray | None = None   # [W, 2] int32 co-occurrence pairs
+    # Deferred-feature support (load_data(load_features=False), the
+    # per-host shard-loading path — SURVEY §7 stage 7): the feats file's
+    # row for each compacted node index, and (path, n_file_rows, dim) of
+    # the on-disk table when ``features`` itself was not materialized.
+    feat_rows: np.ndarray | None = None
+    feature_meta: tuple | None = None
 
     @property
     def num_nodes(self) -> int:
         return len(self.node_ids)
+
+    @property
+    def feature_dim(self) -> int:
+        """Feature width, whether features are in memory or deferred."""
+        if self.features is not None:
+            return self.features.shape[1]
+        if self.feature_meta is not None:
+            return self.feature_meta[2]
+        return 0
 
     @property
     def is_train(self) -> np.ndarray:

@@ -86,8 +86,17 @@ def load_data(
     prefix: str,
     normalize: bool = True,
     load_walks: bool = False,
+    load_features: bool = True,
 ) -> GraphData:
-    """Load a dataset into a :class:`GraphData`. See module docstring."""
+    """Load a dataset into a :class:`GraphData`. See module docstring.
+
+    ``load_features=False`` defers the feature table: graph metadata
+    (nodes, edges, labels, splits) loads as usual, but ``features``
+    stays None and ``feature_meta``/``feat_rows`` record the on-disk
+    table so :func:`load_feature_shard` can later materialize ONLY one
+    host's row range — the multi-host path where the table exceeds a
+    single host's memory (SURVEY §7 stage 7).
+    """
     with open(prefix + "-G.json") as fp:
         g_data = json.load(fp)
     node_ids, is_val, is_test, has_flags, edges = parse_node_link_graph(g_data)
@@ -107,8 +116,10 @@ def load_data(
         class_map = {conv(k): lab_conv(v) for k, v in raw_class_map.items()}
 
     feats = None
-    if os.path.exists(prefix + "-feats.npy"):
-        feats = np.load(prefix + "-feats.npy").astype(np.float32)
+    feats_path = prefix + "-feats.npy"
+    have_feats = os.path.exists(feats_path)
+    if have_feats and load_features:
+        feats = np.load(feats_path).astype(np.float32)
 
     # Drop nodes missing val/test annotations (utils.py:46-50), then reindex
     # every node to its id_map position so arrays align with the feature file.
@@ -132,9 +143,15 @@ def load_data(
         [is_test[keep_positions[j]] for j in order], dtype=bool
     )
 
-    if feats is not None:
+    feat_rows = None
+    feature_meta = None
+    if have_feats:
         feat_rows = np.array([id_map[nid] for nid in ordered_ids])
-        feats = feats[feat_rows]
+        if feats is not None:
+            feats = feats[feat_rows]
+        else:
+            shape = _npy_shape(feats_path)
+            feature_meta = (feats_path, int(shape[0]), int(shape[1]))
 
     # Remap edges, dropping those touching removed nodes; dedupe (undirected).
     remapped = []
@@ -186,7 +203,75 @@ def load_data(
         train_removed=train_removed,
         neighbors=neighbors,
         walks=walks,
+        feat_rows=feat_rows,
+        feature_meta=feature_meta,
     )
+
+
+def _npy_shape(path: str) -> tuple:
+    """Array shape from the .npy header — no data read (mmap open)."""
+    return np.load(path, mmap_mode="r").shape
+
+
+def feature_stats(graph: GraphData, chunk: int = 65536):
+    """(mean, std) over TRAIN rows of a deferred feature table, computed
+    in a chunked pass over the mmap — peak memory O(chunk) rows. Matches
+    :func:`standardize_features`' population-std semantics (utils.py:62-68)
+    with float64 accumulation."""
+    path, _, F = graph.feature_meta
+    mm = np.load(path, mmap_mode="r")
+    train_rows = np.sort(graph.feat_rows[graph.is_train])
+    s = np.zeros(F, np.float64)
+    ss = np.zeros(F, np.float64)
+    cnt = 0
+    for i in range(0, len(train_rows), chunk):
+        block = np.asarray(mm[train_rows[i:i + chunk]], dtype=np.float64)
+        s += block.sum(axis=0)
+        ss += (block * block).sum(axis=0)
+        cnt += block.shape[0]
+    mean = s / max(cnt, 1)
+    var = np.maximum(ss / max(cnt, 1) - mean * mean, 0.0)
+    std = np.sqrt(var)
+    std[std == 0.0] = 1.0
+    return mean.astype(np.float32), std.astype(np.float32)
+
+
+def load_feature_shard(
+    graph: GraphData,
+    lo: int,
+    hi: int,
+    normalize: bool = True,
+    stats=None,
+    dtype=np.float32,
+    chunk: int = 65536,
+) -> np.ndarray:
+    """Rows [lo, hi) of the compacted+padded feature table, reading ONLY
+    those rows from the deferred on-disk table (mmap fancy-index).
+
+    Row indices follow the device layout: row i < num_nodes is node i's
+    (standardized) features; rows >= num_nodes (the dummy node and any
+    shard padding) are zero. Peak memory is O(hi - lo + chunk) rows —
+    never the full table. Requires ``load_data(load_features=False)``.
+    """
+    if graph.feature_meta is None:
+        raise ValueError(
+            "load_feature_shard needs a deferred feature table — load the "
+            "graph with load_data(..., load_features=False)"
+        )
+    path, _, F = graph.feature_meta
+    mm = np.load(path, mmap_mode="r")
+    n = graph.num_nodes
+    out = np.zeros((hi - lo, F), dtype=np.float32)
+    real = max(0, min(hi, n) - lo)
+    if real > 0:
+        file_rows = graph.feat_rows[lo:lo + real]
+        out[:real] = mm[file_rows]
+        if normalize:
+            mean, std = stats if stats is not None else feature_stats(
+                graph, chunk
+            )
+            out[:real] = (out[:real] - mean) / std
+    return out.astype(dtype)
 
 
 def standardize_features(feats: np.ndarray, train_mask: np.ndarray) -> np.ndarray:

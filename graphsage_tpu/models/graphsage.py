@@ -154,8 +154,15 @@ def aggregate_pyramid(
     rng=None,
     deterministic: bool = True,
     last_hop_neigh_mean=None,
+    capture: dict | None = None,
 ):
     """Fold the hop pyramid (reference aggregate(), models.py:278-330).
+
+    ``capture``: optional dict; when given, each aggregator call's output
+    is recorded under ``acts/layer_<L>/hop_<H>`` (plus the batch input
+    row under ``acts/input``) — the functional analogue of the
+    reference's per-layer input/output histograms (layers.py:59-70),
+    consumed by ``--log_histograms``.
 
     ``hidden[h]`` is the feature matrix of frontier h; after layer L-1 only
     ``hidden[0]`` remains — the batch embeddings.
@@ -172,6 +179,9 @@ def aggregate_pyramid(
     support = [1]
     for k in range(n_layers):
         support.append(support[-1] * fanouts[n_layers - k - 1])
+
+    if capture is not None and hidden[0] is not None:
+        capture["acts/input"] = hidden[0]
 
     for layer in range(n_layers):
         agg_params = params["aggs"][layer]
@@ -206,6 +216,8 @@ def aggregate_pyramid(
                 rng=hop_rng,
                 deterministic=deterministic,
             )
+            if capture is not None:
+                capture[f"acts/layer_{layer}/hop_{hop}"] = h
             next_hidden.append(h)
         hidden = next_hidden
     return hidden[0]
@@ -219,9 +231,11 @@ def sage_embed(
     rng,
     config: SAGEConfig,
     deterministic: bool = True,
+    capture: dict | None = None,
 ):
     """Full sample -> gather -> aggregate forward: [B] ids -> [B, out] raw
-    (un-normalized) embeddings."""
+    (un-normalized) embeddings. ``capture`` records per-layer activations
+    (see aggregate_pyramid)."""
     sample_rng, drop_rng = jax.random.split(rng)
     samples = sample_frontier(
         sample_rng, adj, ids, config.fanouts, mode=config.sampler_mode
@@ -292,7 +306,23 @@ def sage_embed(
         rng=None if deterministic else drop_rng,
         deterministic=deterministic,
         last_hop_neigh_mean=last_mean,
+        capture=capture,
     )
+
+
+def make_activations_fn(config: SAGEConfig):
+    """Jitted side probe for ``--log_histograms``: run the deterministic
+    forward over a probe batch and return every layer's activations
+    (the reference logs each layer's inputs/outputs when logging=True,
+    layers.py:59-70). Compiled once; called only at print boundaries."""
+
+    def acts(params, features, adj, ids, rng):
+        cap: dict = {}
+        sage_embed(params, features, adj, ids, rng, config,
+                   deterministic=True, capture=cap)
+        return cap
+
+    return jax.jit(acts)
 
 
 def sage_decay_weights(params, config: SAGEConfig):

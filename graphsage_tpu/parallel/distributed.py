@@ -76,6 +76,31 @@ def put_global(array, mesh: Mesh, spec: P):
     )
 
 
+def put_global_rows(shape, dtype, mesh: Mesh, spec: P, row_loader):
+    """Row-sharded global placement WITHOUT materializing the full table.
+
+    Unlike :func:`put_global` (every process passes the complete host
+    array), each process calls ``row_loader(lo, hi)`` only for the row
+    ranges of its own addressable shards — O(rows_per_host) peak host
+    memory. This is the per-host loading path for feature tables that
+    exceed a single host's RAM (SURVEY §7 stage 7): pair it with
+    ``data.io.load_feature_shard`` over a deferred (mmap) on-disk table.
+    ``spec`` must shard the leading axis only.
+    """
+    sharding = NamedSharding(mesh, spec)
+    cache: dict = {}
+
+    def cb(idx):
+        rows = idx[0]
+        lo = rows.start or 0
+        hi = rows.stop if rows.stop is not None else shape[0]
+        if (lo, hi) not in cache:
+            cache[(lo, hi)] = np.asarray(row_loader(lo, hi), dtype=dtype)
+        return cache[(lo, hi)][(slice(None),) + tuple(idx[1:])]
+
+    return jax.make_array_from_callback(tuple(shape), sharding, cb)
+
+
 def replicate_unsharded(tree, mesh: Mesh):
     """Commit every leaf that isn't already mesh-sharded to a replicated
     NamedSharding(mesh, P()). Freshly-initialized params are uncommitted

@@ -74,6 +74,9 @@ class TrainFlags:
     graph_shards: int = 1       # row-shard tables over N devices (P2)
     data_shards: int = 1        # pure data parallelism over N devices (P1)
     capacity_factor: float = 0.0  # P2 all-to-all budget; 0 = auto-size
+    defer_features: bool = False  # mmap the feature table; each host
+                                  # materializes only its --graph_shards
+                                  # row range (SURVEY §7 stage 7)
     seed: int = 123
     n_model_shards: int = 1     # feature-dim TP over a ("data","model")
                                 # mesh (supervised; composes with

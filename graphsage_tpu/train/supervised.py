@@ -33,7 +33,7 @@ from graphsage_tpu.train.metrics import calc_f1
 
 def build_supervised_config(flags: TrainFlags, graph) -> SupervisedConfig:
     agg, concat, layers = build_layer_infos(flags, supervised=True)
-    feature_dim = 0 if graph.features is None else graph.features.shape[1]
+    feature_dim = graph.feature_dim  # in-memory or deferred (mmap) table
     if feature_dim == 0 and flags.identity_dim == 0:
         raise ValueError(
             "Must have a positive value for identity feature dimension if no "
@@ -137,11 +137,19 @@ def _run_eval_sweep(sweep_fn, params, features, adj, nodes, labels_np,
 def train(flags: TrainFlags, graph=None) -> dict:
     if graph is None:
         print("Loading training data..")
-        graph = load_data(flags.train_prefix)
+        graph = load_data(flags.train_prefix,
+                          load_features=not flags.defer_features)
         print("Done loading training data..")
 
     if flags.graph_shards > 1:
         return _train_sharded(flags, graph)
+
+    if graph.features is None and graph.feature_meta is not None:
+        # Deferred table but a single-device run: materialize it fully
+        # (per-host shard loading only pays off under --graph_shards).
+        from graphsage_tpu.data.io import load_feature_shard
+
+        graph.features = load_feature_shard(graph, 0, graph.num_nodes)
 
     if flags.n_model_shards > 1:
         # feature-dim TP runs under GSPMD; the Pallas fused gather is an
@@ -282,6 +290,14 @@ def train(flags: TrainFlags, graph=None) -> dict:
     from graphsage_tpu.train.tblog import ScalarLogger
 
     logger = ScalarLogger(log_dir)
+    acts_fn = probe_ids = None
+    if flags.log_histograms:
+        from graphsage_tpu.models.graphsage import make_activations_fn
+
+        acts_fn = make_activations_fn(config.sage)
+        probe_ids = jnp.asarray(
+            np.resize(np.where(graph.is_train)[0], B).astype(np.int32)
+        )
     avg_time = 0.0
     timed_steps = 0  # steps timed in THIS process (excludes resumed steps)
     val_cost = val_f1_mic = val_f1_mac = 0.0
@@ -362,6 +378,11 @@ def train(flags: TrainFlags, graph=None) -> dict:
                 )
                 if flags.log_histograms:
                     logger.log_histograms(total_steps - 1, params)
+                    logger.log_activations(
+                        total_steps - 1,
+                        acts_fn(params, features, train_adj, probe_ids,
+                                eval_key),
+                    )
 
             if (flags.checkpoint_dir and flags.checkpoint_every
                     and total_steps % flags.checkpoint_every < n):
@@ -420,6 +441,53 @@ def train(flags: TrainFlags, graph=None) -> dict:
     }
 
 
+def _place_sharded_features(graph, D: int, mesh, feature_dtype: str):
+    """Row-sharded placement of the dummy-padded feature table on the
+    ("graph",) mesh.
+
+    In-memory tables go through ``put_global`` (every process holds the
+    full host array, contributes its addressable shards). Deferred tables
+    (``load_data(load_features=False)``) instead go through
+    ``put_global_rows`` + ``load_feature_shard``: each process reads ONLY
+    its own shard's row range from the on-disk mmap, so no host ever
+    materializes the full table — the multi-host story for feature
+    tables larger than one host's RAM (SURVEY §7 stage 7). Deferred
+    tables are always train-standardized (the trainers' load contract).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from graphsage_tpu.parallel.distributed import (
+        put_global,
+        put_global_rows,
+    )
+    from graphsage_tpu.parallel.graph_sharded import shard_rows
+
+    feats_np = graph.padded_features()
+    if feats_np is not None:
+        return put_global(
+            shard_rows(feats_np.astype(feature_dtype), D)[0],
+            mesh, P("graph"),
+        )
+    if graph.feature_meta is None:
+        return None
+
+    from graphsage_tpu.data.io import feature_stats, load_feature_shard
+
+    n_pad = graph.num_nodes + 1  # + dummy row
+    shard_size = -(-n_pad // D)
+    stats = feature_stats(graph)  # one chunked mmap pass per host
+
+    def loader(lo: int, hi: int):
+        return load_feature_shard(
+            graph, lo, hi, stats=stats, dtype=feature_dtype
+        )
+
+    return put_global_rows(
+        (shard_size * D, graph.feature_dim), feature_dtype, mesh,
+        P("graph"), loader,
+    )
+
+
 def _train_sharded(flags: TrainFlags, graph) -> dict:
     """--graph_shards N: row-shard feature/adjacency (and identity) tables
     across an N-device "graph" mesh with all-to-all halo exchange
@@ -456,13 +524,10 @@ def _train_sharded(flags: TrainFlags, graph) -> dict:
     batcher = NodeBatcher(graph, deg, flags.batch_size, seed=flags.seed)
 
     # put_global: every process passes the full table, contributes its
-    # addressable row shards (multi-host safe; plain device_put otherwise)
-    feats_np = graph.padded_features()
-    if feats_np is not None:
-        feats_np = feats_np.astype(flags.feature_dtype)
-        feat_sh = put_global(shard_rows(feats_np, D)[0], mesh, P("graph"))
-    else:
-        feat_sh = None
+    # addressable row shards (multi-host safe; plain device_put otherwise).
+    # Deferred tables instead stream ONLY this host's row range off disk
+    # (put_global_rows + load_feature_shard — SURVEY §7 stage 7).
+    feat_sh = _place_sharded_features(graph, D, mesh, flags.feature_dtype)
     train_adj_sh = put_global(shard_rows(train_adj_np, D)[0], mesh,
                               P("graph"))
     full_adj_sh = put_global(shard_rows(full_adj_np, D)[0], mesh,

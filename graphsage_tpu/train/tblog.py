@@ -38,6 +38,18 @@ class ScalarLogger:
             name = prefix + jax.tree_util.keystr(path)
             self._tb.add_histogram(name, np.asarray(leaf), step)
 
+    def log_activations(self, step: int, acts: dict):
+        """Per-layer activation histograms from a models.graphsage
+        ``make_activations_fn`` probe (reference layers.py:59-70). The
+        graph-sharded loops log param histograms only — the probe runs
+        the single-device forward."""
+        if self._tb is None:
+            return
+        import numpy as np
+
+        for name, v in acts.items():
+            self._tb.add_histogram(name, np.asarray(v), step)
+
     def log(self, step: int, **scalars):
         rec = {"step": step, "ts": time.time()}
         for k, v in scalars.items():

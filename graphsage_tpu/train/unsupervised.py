@@ -34,7 +34,7 @@ from graphsage_tpu.train.config import TrainFlags, build_layer_infos
 
 def build_unsupervised_config(flags: TrainFlags, graph) -> UnsupervisedConfig:
     agg, concat, layers = build_layer_infos(flags, supervised=False)
-    feature_dim = 0 if graph.features is None else graph.features.shape[1]
+    feature_dim = graph.feature_dim  # in-memory or deferred (mmap) table
     if feature_dim == 0 and flags.identity_dim == 0:
         raise ValueError(
             "Must have a positive value for identity feature dimension if no "
@@ -194,8 +194,17 @@ def save_val_embeddings(embed_fn, batcher, graph, out_dir: str, mod=""):
 def train(flags: TrainFlags, graph=None) -> dict:
     if graph is None:
         print("Loading training data..")
-        graph = load_data(flags.train_prefix, load_walks=flags.random_context)
+        graph = load_data(flags.train_prefix, load_walks=flags.random_context,
+                          load_features=not flags.defer_features)
         print("Done loading training data..")
+
+    if (graph.features is None and graph.feature_meta is not None
+            and flags.graph_shards <= 1):
+        # Deferred table but a single-device run: materialize it fully
+        # (per-host shard loading only pays off under --graph_shards).
+        from graphsage_tpu.data.io import load_feature_shard
+
+        graph.features = load_feature_shard(graph, 0, graph.num_nodes)
 
     train_adj_np, deg, full_adj_np = build_both_adjs(
         graph, flags.max_degree, seed=flags.seed
@@ -289,6 +298,15 @@ def train(flags: TrainFlags, graph=None) -> dict:
     from graphsage_tpu.train.tblog import ScalarLogger
 
     logger = ScalarLogger(log_dir)
+    acts_fn = probe_ids = None
+    if flags.log_histograms:
+        from graphsage_tpu.models.graphsage import make_activations_fn
+
+        acts_fn = make_activations_fn(config.sage)
+        probe_ids = jnp.asarray(
+            np.resize(np.where(graph.is_train)[0],
+                      flags.batch_size).astype(np.int32)
+        )
     train_shadow_mrr = None
     shadow_mrr = None
     val_cost = val_mrr = 0.0
@@ -369,6 +387,12 @@ def train(flags: TrainFlags, graph=None) -> dict:
                 logger.log(total_steps - 1, step_time=avg_time, **scal)
                 if flags.log_histograms:
                     logger.log_histograms(total_steps - 1, params)
+                    if acts_fn is not None:
+                        logger.log_activations(
+                            total_steps - 1,
+                            acts_fn(params, features, train_adj,
+                                    probe_ids, eval_key),
+                        )
 
             if (flags.checkpoint_dir and flags.checkpoint_every
                     and total_steps % flags.checkpoint_every < n):
@@ -566,14 +590,9 @@ def _train_sharded(flags: TrainFlags, graph, deg, batcher: EdgeBatcher,
     train_adj_np, _, full_adj_np = build_both_adjs(
         graph, flags.max_degree, seed=flags.seed
     )
-    feats_np = graph.padded_features()
-    if feats_np is not None:
-        feat_sh = put_global(
-            shard_rows(feats_np.astype(flags.feature_dtype), D)[0],
-            mesh, P("graph"),
-        )
-    else:
-        feat_sh = None
+    from graphsage_tpu.train.supervised import _place_sharded_features
+
+    feat_sh = _place_sharded_features(graph, D, mesh, flags.feature_dtype)
     train_adj_sh = put_global(shard_rows(train_adj_np, D)[0], mesh,
                               P("graph"))
     full_adj_sh = put_global(shard_rows(full_adj_np, D)[0], mesh,

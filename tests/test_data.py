@@ -235,3 +235,61 @@ def test_powerlaw_multilabel_roundtrip(tmp_path):
     assert g2.num_nodes == g.num_nodes
     assert g2.labels.shape == (g.num_nodes, 6)
     assert (g2.labels.sum(axis=1) >= 1).all()
+
+
+def test_deferred_feature_shard_matches_full_load(tmp_path, toy_graph):
+    """load_data(load_features=False) + load_feature_shard reads only a
+    row range off disk yet reproduces the eagerly-loaded standardized
+    table exactly (per-host shard loading, SURVEY §7 stage 7)."""
+    from graphsage_tpu.data.io import feature_stats, load_feature_shard
+
+    prefix = str(tmp_path / "toy")
+    write_dataset(toy_graph, prefix)
+    full = load_data(prefix)  # eager, train-standardized
+    lazy = load_data(prefix, load_features=False)
+
+    assert lazy.features is None
+    assert lazy.feature_meta is not None
+    assert lazy.feature_dim == full.features.shape[1]
+    np.testing.assert_array_equal(lazy.node_ids, full.node_ids)
+
+    # chunked mmap stats == in-memory standardize stats
+    mean, std = feature_stats(lazy, chunk=17)
+    raw = np.load(prefix + "-feats.npy").astype(np.float32)[lazy.feat_rows]
+    tr = raw[lazy.is_train]
+    np.testing.assert_allclose(mean, tr.mean(axis=0), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(std, tr.std(axis=0), rtol=1e-5, atol=1e-6)
+
+    n = full.num_nodes
+    padded = np.vstack([full.features,
+                        np.zeros((3, full.features.shape[1]), np.float32)])
+    # arbitrary shard ranges incl. ones crossing into dummy/pad rows
+    for lo, hi in [(0, 40), (40, 100), (100, n + 3), (n, n + 3)]:
+        shard = load_feature_shard(lazy, lo, hi, stats=(mean, std))
+        np.testing.assert_allclose(shard, padded[lo:hi], rtol=1e-5,
+                                   atol=1e-5)
+
+
+def test_put_global_rows_loads_only_local_ranges(toy_graph, tmp_path):
+    """put_global_rows materializes exactly the addressable row ranges
+    and the assembled global equals a put_global of the full table."""
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from graphsage_tpu.parallel.distributed import put_global, put_global_rows
+
+    devs = jax.devices()[:4]
+    mesh = Mesh(np.asarray(devs), ("graph",))
+    table = np.arange(64, dtype=np.float32).reshape(16, 4)
+
+    seen = []
+
+    def loader(lo, hi):
+        seen.append((lo, hi))
+        return table[lo:hi]
+
+    g = put_global_rows((16, 4), "float32", mesh, P("graph"), loader)
+    ref = put_global(table, mesh, P("graph"))
+    np.testing.assert_array_equal(np.asarray(g), np.asarray(ref))
+    assert sorted(set(seen)) == [(0, 4), (4, 8), (8, 12), (12, 16)]

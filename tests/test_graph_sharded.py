@@ -627,3 +627,30 @@ def test_halo_overlap_matches_blocking_bitwise(mesh, toy_graph):
     np.testing.assert_array_equal(out_o, out_b)
     np.testing.assert_allclose(gemb_o, gemb_b, rtol=1e-5, atol=1e-6)
     np.testing.assert_array_equal(gw_o, gw_b)
+
+
+def test_graph_shards_deferred_features_parity(tmp_path, toy_graph):
+    """--defer_features: per-host shard loading (mmap row ranges via
+    put_global_rows + load_feature_shard) is numerically identical to the
+    eager in-memory sharded path (SURVEY §7 stage 7)."""
+    from graphsage_tpu.data.synthetic import write_dataset
+    from graphsage_tpu.train.config import TrainFlags
+    from graphsage_tpu.train.supervised import train
+
+    prefix = str(tmp_path / "ds" / "synth")
+    write_dataset(toy_graph, prefix)
+    base = dict(
+        train_prefix=prefix, epochs=1, batch_size=16, samples_1=4,
+        samples_2=3, dim_1=8, dim_2=8, max_degree=8, validate_iter=1000,
+        validate_batch_size=8, print_every=1000, graph_shards=D, seed=123,
+        sampler_mode="first_k",
+    )
+    r_eager = train(TrainFlags(base_log_dir=str(tmp_path / "a"), **base))
+    r_lazy = train(TrainFlags(base_log_dir=str(tmp_path / "b"),
+                              defer_features=True, **base))
+    np.testing.assert_allclose(r_lazy["val_loss"], r_eager["val_loss"],
+                               rtol=1e-6)
+    np.testing.assert_allclose(r_lazy["val_f1_mic"], r_eager["val_f1_mic"],
+                               rtol=1e-6)
+    np.testing.assert_allclose(r_lazy["test_f1_mic"], r_eager["test_f1_mic"],
+                               rtol=1e-6)

@@ -257,3 +257,39 @@ def test_l2_normalize_zero_safe():
     x = jnp.zeros((2, 4))
     out = np.asarray(l2_normalize(x))
     assert np.isfinite(out).all()
+
+
+def test_activation_capture_keys_and_shapes(toy_graph):
+    """make_activations_fn records each aggregator call's output
+    (reference layers.py:59-70 per-layer input/output histograms)."""
+    import jax
+
+    from graphsage_tpu.data.adjacency import build_both_adjs
+    from graphsage_tpu.models.graphsage import (
+        LayerInfo,
+        SAGEConfig,
+        init_sage_params,
+        make_activations_fn,
+    )
+
+    g = toy_graph
+    adj, _, _ = build_both_adjs(g, max_degree=8)
+    feats = g.padded_features()
+    cfg = SAGEConfig(
+        layers=(LayerInfo(4, 10), LayerInfo(3, 6)),
+        feature_dim=feats.shape[1], aggregator="mean",
+        sampler_mode="first_k", num_nodes=g.num_nodes,
+    )
+    params = init_sage_params(jax.random.key(0), cfg)
+    fn = make_activations_fn(cfg)
+    B = 8
+    acts = fn(params, jnp.asarray(feats), jnp.asarray(adj),
+              jnp.arange(B, dtype=jnp.int32), jax.random.key(1))
+    assert set(acts) == {
+        "acts/input", "acts/layer_0/hop_0", "acts/layer_0/hop_1",
+        "acts/layer_1/hop_0",
+    }
+    assert acts["acts/layer_0/hop_0"].shape == (B, 2 * 10)  # concat
+    assert acts["acts/layer_0/hop_1"].shape == (B * 3, 2 * 10)
+    assert acts["acts/layer_1/hop_0"].shape == (B, 2 * 6)
+    assert np.isfinite(np.asarray(acts["acts/layer_1/hop_0"])).all()

@@ -1,7 +1,13 @@
-"""2-process multi-host test: jax.distributed over localhost (Gloo),
-cross-process ("data",) mesh, DP chunk runner parity + put_global /
-host_array round trip. The assertions live in tests/_mp_worker.py; this
-wrapper spawns the two processes with isolated JAX state.
+"""2-process multi-host tests: jax.distributed over localhost (Gloo).
+
+* test_two_process_dp_parity — cross-process ("data",) mesh, P1 DP chunk
+  runner parity + put_global / host_array round trip (_mp_worker.py).
+* test_two_process_graph_sharded_parity — cross-process ("graph",) mesh,
+  P2 sharded chunk runner parity + per-host feature shard loading off a
+  deferred mmap table (_mp_worker_sharded.py).
+
+The assertions live in the worker scripts; these wrappers spawn the two
+processes with isolated JAX state.
 """
 
 import os
@@ -10,7 +16,6 @@ import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-WORKER = os.path.join(REPO, "tests", "_mp_worker.py")
 
 
 def _free_port() -> int:
@@ -19,7 +24,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_dp_parity():
+def _run_workers(worker: str, ok_tag: str, extra_args=()):
     port = _free_port()
     env = dict(
         os.environ,
@@ -27,9 +32,10 @@ def test_two_process_dp_parity():
         JAX_PLATFORMS="cpu",
         PYTHONPATH=REPO,
     )
+    script = os.path.join(REPO, "tests", worker)
     procs = [
         subprocess.Popen(
-            [sys.executable, WORKER, str(port), str(pid)],
+            [sys.executable, script, str(port), str(pid), *extra_args],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             text=True,
         )
@@ -47,5 +53,18 @@ def test_two_process_dp_parity():
         assert p.returncode == 0, (
             f"worker {pid} failed (rc={p.returncode}):\n{out}"
         )
-    assert "MP_WORKER_OK 0" in outs[0]
-    assert "MP_WORKER_OK 1" in outs[1]
+    assert f"{ok_tag} 0" in outs[0]
+    assert f"{ok_tag} 1" in outs[1]
+
+
+def test_two_process_dp_parity():
+    _run_workers("_mp_worker.py", "MP_WORKER_OK")
+
+
+def test_two_process_graph_sharded_parity(tmp_path):
+    from graphsage_tpu.data.synthetic import make_synthetic_graph, write_dataset
+
+    g = make_synthetic_graph(num_nodes=120, num_classes=3, feat_dim=8, seed=7)
+    prefix = str(tmp_path / "mp" / "synth")
+    write_dataset(g, prefix)
+    _run_workers("_mp_worker_sharded.py", "MP_SHARDED_OK", (prefix,))
