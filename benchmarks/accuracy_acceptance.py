@@ -90,6 +90,37 @@ HEADER = [
     "acceptance bar is: trains stably on hub-skewed graphs, beats",
     "the raw-feature baseline, all on the real TPU path.",
     "",
+    "Metric: standard positives-only micro-F1 everywhere (for",
+    "multilabel probes an all-negative predictor scores 0 — the dummy",
+    "base-rate classifier has no floor). The reference ppi_eval's own",
+    "per-column binary F1 (= cell accuracy; ppi_eval.py:26-30) is kept",
+    "in the notes column as `cell-F1` for parity. SGD probe epochs are",
+    "capped at 15 on proxy-reddit (modern sklearn defaults to 1000;",
+    "the reference's sklearn-0.18-era n_iter default was 5) — the cap",
+    "applies to probe AND baselines alike, so margins are fair.",
+    "",
+]
+
+FOOTER = [
+    "",
+    "## maxpool/seq on proxy-ppi: trained 40 epochs (root-caused, "
+    "not a bug)",
+    "",
+    "At 10 epochs the pooled/seq supervised runs sit at F1 ~0.08-0.12",
+    "on proxy-ppi while mean reaches ~0.41 — reproduced at small scale",
+    "(`benchmarks/maxpool_repro_jax.py`) and decided with a",
+    "from-scratch PyTorch replica of the reference's exact semantics",
+    "(`benchmarks/maxpool_repro_torch.py`: xavier init, Adam lr=0.01",
+    "eps=1e-8, clip ±5, concat aggregators, l2-normed head — matching",
+    "/root/reference/graphsage/aggregators.py:168-195,",
+    "supervised_models.py:111-118) on the identical generator: the",
+    "replica collapses identically (BCE flat ~0.64, zero sigmoid",
+    "outputs >0.5 for ~6 epochs) then climbs to val F1 ≈0.41 by epoch",
+    "40. On this weak-feature (snr 0.5) dense-multilabel proxy the",
+    "pooled/seq models need ~4x more epochs than mean to escape the",
+    "all-below-threshold regime of the sigmoid loss — a property of",
+    "the data shape, not the aggregators (pinned bitwise by",
+    "tests/test_golden.py). The table therefore trains them 40 epochs.",
 ]
 
 
@@ -121,11 +152,12 @@ def main():
         lines.append(f"mode: {'QUICK (smoke)' if args.quick else 'full'}; "
                      f"device: {__import__('jax').devices()[0].platform}")
         lines += ["", "| dataset | run | test micro-F1 | macro-F1 | "
-                  "wall(s) |", "|---|---|---|---|---|"]
-        for name, run, mic, mac, wall in rows:
+                  "wall(s) | notes |", "|---|---|---|---|---|---|"]
+        for name, run, mic, mac, wall, note in rows:
             mac_s = "—" if mac != mac else f"{mac:.4f}"
             lines.append(f"| {name} | {run} | {mic:.4f} | {mac_s} | "
-                         f"{wall:.0f} |")
+                         f"{wall:.0f} | {note} |")
+        lines += FOOTER
         with open(args.out, "w") as fp:
             fp.write("\n".join(lines) + "\n")
 
@@ -151,12 +183,22 @@ def main():
         for model in ("graphsage_mean", "graphsage_maxpool",
                       "graphsage_seq"):
             t0 = time.time()
-            flags = sup_flags(prefix, name, model=model, sigmoid=sigmoid)
+            kw = dict(model=model, sigmoid=sigmoid)
+            note = ""
+            if (sigmoid and not args.quick
+                    and model != "graphsage_mean"):
+                # pooled/seq need ~4x mean's epochs to escape the
+                # all-negative regime of the dense-multilabel sigmoid
+                # loss on this proxy — reference-replica behaves
+                # identically (see footer)
+                kw["epochs"] = 40
+                note = "40 ep (see footer)"
+            flags = sup_flags(prefix, name, **kw)
             print(f"[sup] {name} {model} ...", flush=True)
             res = train_sup(flags)
             rows.append((name, f"supervised {model}",
                          res["test_f1_mic"], res["test_f1_mac"],
-                         time.time() - t0))
+                         time.time() - t0, note))
             print(f"[sup] {name} {model}: test micro-F1 "
                   f"{res['test_f1_mic']:.4f} ({time.time()-t0:.0f}s)",
                   flush=True)
@@ -173,17 +215,51 @@ def main():
         )
         print(f"[unsup] {name} ...", flush=True)
         res = train_unsup(flags)
+        # SGD epoch cap: probe AND baselines use the same setting so the
+        # acceptance margin is an apples-to-apples comparison
+        cap = 15 if name == "proxy-reddit" else None
+
+        def probe_rows(run_name, scores, wall):
+            mic = scores.get("test_f1_pos", scores["test_f1"])
+            note = (f"cell-F1 {scores['test_f1']:.4f}"
+                    if "test_f1_pos" in scores else "")
+            rows.append((name, run_name, mic, float("nan"), wall, note))
+            return mic
+
         scores = evaluate_embeddings(prefix, res["log_dir"], "test",
-                                     seed=1)
-        rows.append((name, "unsupervised mean + logreg",
-                     scores["test_f1"], float("nan"), time.time() - t0))
-        feat_scores = evaluate_embeddings(prefix, "feat", "test", seed=1)
-        rows.append((name, "raw features + logreg (baseline)",
-                     feat_scores["test_f1"], float("nan"), 0.0))
+                                     seed=1, sgd_max_iter=cap)
+        p = probe_rows("unsupervised mean + logreg", scores,
+                       time.time() - t0)
+        t1 = time.time()
+        feat_scores = evaluate_embeddings(prefix, "feat", "test", seed=1,
+                                          sgd_max_iter=cap)
+        f = probe_rows("raw features + logreg (baseline)", feat_scores,
+                       time.time() - t1)
+        d_mic = scores.get("dummy_f1_pos", scores["dummy_f1"])
+        d_note = (f"cell-F1 {scores['dummy_f1']:.4f}"
+                  if "dummy_f1_pos" in scores else "")
         rows.append((name, "random dummy + logreg (baseline)",
-                     scores["dummy_f1"], float("nan"), 0.0))
-        print(f"[unsup] {name}: probe micro-F1 {scores['test_f1']:.4f} "
-              f"(feat baseline {feat_scores['test_f1']:.4f})", flush=True)
+                     d_mic, float("nan"), 0.0, d_note))
+        print(f"[unsup] {name}: probe micro-F1 {p:.4f} "
+              f"(feat baseline {f:.4f}, dummy {d_mic:.4f})", flush=True)
+        flush_rows()
+
+        # n2v (DeepWalk) + logistic probe — transductive embedding
+        # baseline over the same walks (reference n2v_big path)
+        t0 = time.time()
+        n2v_flags = sup_flags(
+            prefix, name, model="n2v",
+            learning_rate=0.01,
+            epochs=1, max_total_steps=60 if args.quick else 3000,
+            random_context=True, save_embeddings=True,
+            n2v_test_epochs=1,
+        )
+        print(f"[n2v] {name} ...", flush=True)
+        n2v_res = train_unsup(n2v_flags)
+        n2v_scores = evaluate_embeddings(prefix, n2v_res["log_dir"],
+                                         "test", seed=1, sgd_max_iter=cap)
+        pn = probe_rows("n2v + logreg", n2v_scores, time.time() - t0)
+        print(f"[n2v] {name}: probe micro-F1 {pn:.4f}", flush=True)
         flush_rows()
 
     flush_rows()

@@ -18,12 +18,24 @@ import numpy as np
 
 
 def run_regression(train_embeds, train_labels, test_embeds, test_labels,
-                   seed: int = 1) -> dict:
-    """-> {"test_f1": float, "train_f1": float, "dummy_f1": float}.
+                   seed: int = 1, sgd_max_iter: int | None = None) -> dict:
+    """-> {"test_f1", "train_f1", "dummy_f1"} (+ "*_f1_pos" multilabel).
 
     sklearn SGD logistic regression (loss="log" in the reference's older
     sklearn = "log_loss" now); multilabel wraps in MultiOutputClassifier
     (ppi_eval.py:21-23).
+
+    Multilabel metrics: ``*_f1`` aggregates the reference's per-column
+    binary micro-F1 prints (ppi_eval.py:26-30) over all cells — which
+    equals cell accuracy and has a high base-rate floor on dense labels.
+    ``*_f1_pos`` is the standard positives-only multilabel micro-F1 (the
+    paper's PPI metric, and what calc_f1 reports for supervised runs):
+    an all-negative predictor scores 0, so this is the metric with
+    discriminative teeth — acceptance margins use it.
+
+    ``sgd_max_iter`` bounds SGD epochs (the reference's sklearn-0.18-era
+    n_iter default was 5; modern sklearn defaults to 1000, which is
+    prohibitive at Reddit scale — pass a small value and report it).
     """
     np.random.seed(seed)
     from sklearn.dummy import DummyClassifier
@@ -32,13 +44,18 @@ def run_regression(train_embeds, train_labels, test_embeds, test_labels,
     from sklearn.multioutput import MultiOutputClassifier
 
     multilabel = np.asarray(train_labels).ndim == 2
+    sgd_kw = {} if sgd_max_iter is None else {
+        "max_iter": sgd_max_iter, "tol": None,
+    }
 
     if multilabel:
         dummy = MultiOutputClassifier(DummyClassifier())
-        log = MultiOutputClassifier(SGDClassifier(loss="log_loss"), n_jobs=-1)
+        log = MultiOutputClassifier(
+            SGDClassifier(loss="log_loss", **sgd_kw), n_jobs=-1
+        )
     else:
         dummy = DummyClassifier()
-        log = SGDClassifier(loss="log_loss")
+        log = SGDClassifier(loss="log_loss", **sgd_kw)
 
     dummy.fit(train_embeds, train_labels)
     log.fit(train_embeds, train_labels)
@@ -52,11 +69,28 @@ def run_regression(train_embeds, train_labels, test_embeds, test_labels,
             )
         return f1_score(y_true, y_pred, average="micro")
 
-    return {
-        "test_f1": float(f1(test_labels, log.predict(test_embeds))),
-        "train_f1": float(f1(train_labels, log.predict(train_embeds))),
-        "dummy_f1": float(f1(test_labels, dummy.predict(test_embeds))),
+    test_pred = log.predict(test_embeds)
+    train_pred = log.predict(train_embeds)
+    dummy_pred = dummy.predict(test_embeds)
+    out = {
+        "test_f1": float(f1(test_labels, test_pred)),
+        "train_f1": float(f1(train_labels, train_pred)),
+        "dummy_f1": float(f1(test_labels, dummy_pred)),
     }
+    if multilabel:
+        out["test_f1_pos"] = float(f1_score(
+            np.asarray(test_labels), np.asarray(test_pred),
+            average="micro", zero_division=0,
+        ))
+        out["train_f1_pos"] = float(f1_score(
+            np.asarray(train_labels), np.asarray(train_pred),
+            average="micro", zero_division=0,
+        ))
+        out["dummy_f1_pos"] = float(f1_score(
+            np.asarray(test_labels), np.asarray(dummy_pred),
+            average="micro", zero_division=0,
+        ))
+    return out
 
 
 def load_embeddings(embed_dir: str, mod: str = ""):
@@ -90,6 +124,7 @@ def evaluate_embeddings(
     setting: str = "test",
     seed: int = 1,
     label_tsvs=None,
+    sgd_max_iter: int | None = None,
 ) -> dict:
     """Full pipeline: load dataset + embeddings, split, regress.
 
@@ -150,9 +185,14 @@ def evaluate_embeddings(
             eval_embeds = embeds[rows(eval_idx)]
 
     result = run_regression(
-        train_embeds, train_labels, eval_embeds, eval_labels, seed=seed
+        train_embeds, train_labels, eval_embeds, eval_labels, seed=seed,
+        sgd_max_iter=sgd_max_iter,
     )
     print(f"{setting} F1 (micro): {result['test_f1']:.5f}")
     print(f"train F1 (micro): {result['train_f1']:.5f}")
     print(f"dummy baseline F1 (micro): {result['dummy_f1']:.5f}")
+    if "test_f1_pos" in result:
+        print(f"{setting} multilabel micro-F1 (positives): "
+              f"{result['test_f1_pos']:.5f} "
+              f"(dummy {result['dummy_f1_pos']:.5f})")
     return result

@@ -241,55 +241,31 @@ def sage_embed(
         sample_rng, adj, ids, config.fanouts, mode=config.sampler_mode
     )
 
-    # Fused fast paths: the innermost-hop gather is the bandwidth hot
-    # spot ([B*prod(fanouts), F]). With no neighbor dropout:
-    #   * mean agg: its only use is a mean -> Pallas gather+mean
-    #     (ops/gather.py) never materializes the gather;
-    #   * max/mean-pool aggs: its only use is the per-neighbor MLP +
-    #     pooled reduce -> Pallas gather+MLP+pool (ops/pool.py) keeps
-    #     both the gather and the [B*S, H] MLP activations in VMEM.
-    # mean fusion also covers training (features carry no gradient); the
-    # pool kernel contains the differentiable MLP and has no VJP rule, so
-    # it serves inference/eval/embedding-export passes only.
-    # pool fusion's win is HBM footprint (no [B*S, F] / [B*S, H]
-    # intermediates), roughly speed-parity with XLA on v5e; the kernel
-    # handles exactly one MLP layer, so guard the depth explicitly.
-    fusable = config.aggregator == "mean" or (
-        config.aggregator in ("maxpool", "meanpool")
-        and deterministic
-        and len(params["aggs"][0].get("mlp", ())) == 1
-    )
+    # Fused fast path: the innermost-hop gather is the bandwidth hot
+    # spot ([B*prod(fanouts), F]). For the mean aggregator its only use
+    # is a mean, so the Pallas gather+mean kernel (ops/gather.py) never
+    # materializes the gather — valid in training too, since features
+    # carry no gradient. (A fused gather+MLP+pool kernel for the pooled
+    # aggregators was built and measured speed-parity with XLA at the
+    # Reddit pool shape, so it was removed — benchmarks/KERNEL_NOTES.md.)
     use_fused = (
         config.fused_gather
-        and fusable
+        and config.aggregator == "mean"
         and config.identity_dim == 0
         and features is not None
         and (deterministic or config.dropout == 0.0)
     )
     last_mean = None
     if use_fused:
+        from graphsage_tpu.ops.gather import fused_gather_mean
+
         inner_fanout = config.fanouts[0]
         idx2 = samples[-1].reshape(-1, inner_fanout)
-        if config.aggregator == "mean":
-            from graphsage_tpu.ops.gather import fused_gather_mean
-
-            last_mean = fused_gather_mean(
-                features, idx2, dedup=config.dedup_gather
-            )
-            if last_mean.shape[1] != config.feature_dim:
-                last_mean = last_mean[:, : config.feature_dim]
-        else:
-            from graphsage_tpu.ops.pool import fused_gather_mlp_pool
-
-            mlp = params["aggs"][0]["mlp"][0]
-            w, b = mlp["w"], mlp["b"]
-            if w.shape[0] != features.shape[1]:
-                # zero-pad the contracting dim to the lane-padded table
-                w = jnp.pad(w, ((0, features.shape[1] - w.shape[0]), (0, 0)))
-            last_mean = fused_gather_mlp_pool(
-                features, idx2, w, b.reshape(1, -1),
-                reduce="max" if config.aggregator == "maxpool" else "mean",
-            )
+        last_mean = fused_gather_mean(
+            features, idx2, dedup=config.dedup_gather
+        )
+        if last_mean.shape[1] != config.feature_dim:
+            last_mean = last_mean[:, : config.feature_dim]
         hidden = [
             gather_features(params, features, s, config)
             for s in samples[:-1]

@@ -127,21 +127,17 @@ def _init_pool(key, input_dim, output_dim, hidden_dims, bias):
 
 def _apply_pool(params, self_vecs, neigh_vecs, reduce_fn, *, act, concat,
                 dropout_rate, rng, deterministic):
-    """``neigh_vecs`` is [n, S, d] — or an already MLP'd-and-pooled
-    [n, hidden] matrix (the fused gather->MLP->pool kernel fast path;
-    only valid with dropout=0 since Dense drops its input)."""
-    if neigh_vecs.ndim == 2:
-        h = neigh_vecs
-    else:
-        n, s, d = neigh_vecs.shape
-        h = neigh_vecs.reshape(n * s, d)
-        rngs = _split(rng, len(params["mlp"]))
-        for layer, r in zip(params["mlp"], rngs):
-            h = apply_dense(
-                layer, h, act=jax.nn.relu, dropout_rate=dropout_rate,
-                rng=r, deterministic=deterministic,
-            )
-        h = reduce_fn(h.reshape(n, s, -1), axis=1)
+    """``neigh_vecs`` is [n, S, d]: per-neighbor MLP, then reduce over S
+    (reference aggregators.py:119-273)."""
+    n, s, d = neigh_vecs.shape
+    h = neigh_vecs.reshape(n * s, d)
+    rngs = _split(rng, len(params["mlp"]))
+    for layer, r in zip(params["mlp"], rngs):
+        h = apply_dense(
+            layer, h, act=jax.nn.relu, dropout_rate=dropout_rate,
+            rng=r, deterministic=deterministic,
+        )
+    h = reduce_fn(h.reshape(n, s, -1), axis=1)
     from_neighs = jnp.dot(h, params["neigh_w"],
                           preferred_element_type=jnp.float32)
     from_self = jnp.dot(self_vecs, params["self_w"],

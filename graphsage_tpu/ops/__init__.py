@@ -12,7 +12,3 @@ from graphsage_tpu.ops.gather import (  # noqa: F401
     gather_mean_reference,
     pad_feature_dim,
 )
-from graphsage_tpu.ops.pool import (  # noqa: F401
-    fused_gather_mlp_pool,
-    gather_mlp_pool_reference,
-)

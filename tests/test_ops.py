@@ -102,70 +102,6 @@ def test_sage_embed_fused_matches_unfused(toy_graph):
     )
 
 
-@pytest.mark.parametrize("reduce", ["max", "mean"])
-def test_fused_gather_mlp_pool_matches_reference(np_rng, reduce):
-    from graphsage_tpu.ops.pool import (
-        fused_gather_mlp_pool,
-        gather_mlp_pool_reference,
-    )
-
-    feats = jnp.asarray(np_rng.standard_normal((40, 16)).astype(np.float32))
-    idx = jnp.asarray(np_rng.integers(0, 40, (11, 5), dtype=np.int32))
-    w = jnp.asarray(np_rng.standard_normal((16, 8)).astype(np.float32))
-    b = jnp.asarray(np_rng.standard_normal((8,)).astype(np.float32))
-    ref = gather_mlp_pool_reference(feats, idx, w, b, reduce)
-    out = fused_gather_mlp_pool(feats, idx, w, b.reshape(1, -1),
-                                reduce=reduce, interpret=True)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                               rtol=1e-4, atol=1e-5)
-
-
-def test_sage_embed_fused_pool_matches_unfused(toy_graph):
-    """Model-level: deterministic pool forward identical with/without the
-    fused kernel."""
-    import dataclasses
-    import unittest.mock
-
-    from graphsage_tpu.data.adjacency import build_both_adjs
-    from graphsage_tpu.models.graphsage import (
-        LayerInfo,
-        SAGEConfig,
-        init_sage_params,
-        sage_embed,
-    )
-    from graphsage_tpu.ops import pool as pool_mod
-
-    g = toy_graph
-    adj, _, _ = build_both_adjs(g, max_degree=8)
-    feats = jnp.asarray(g.padded_features())
-    adj = jnp.asarray(adj)
-    config = SAGEConfig(
-        layers=(LayerInfo(4, 8), LayerInfo(3, 8)),
-        feature_dim=feats.shape[1],
-        aggregator="maxpool",
-    )
-    params = init_sage_params(jax.random.key(0), config)
-    ids = jnp.arange(12, dtype=jnp.int32)
-    key = jax.random.key(1)
-
-    out_plain = sage_embed(params, feats, adj, ids, key, config)
-
-    fused_cfg = dataclasses.replace(config, fused_gather=True)
-    orig = pool_mod.fused_gather_mlp_pool
-
-    def interp(*a, **kw):
-        kw["interpret"] = True
-        return orig(*a, **kw)
-
-    with unittest.mock.patch.object(
-        pool_mod, "fused_gather_mlp_pool", side_effect=interp
-    ):
-        out_fused = sage_embed(params, feats, adj, ids, key, fused_cfg)
-    np.testing.assert_allclose(
-        np.asarray(out_fused), np.asarray(out_plain), rtol=1e-4, atol=1e-5
-    )
-
-
 def test_dedup_compact_semantics(np_rng):
     from graphsage_tpu.ops.gather import dedup_compact
 
