@@ -138,10 +138,41 @@ def measured_baseline():
         return 2.0e6, "ESTIMATED TF1-GPU rate (measured file missing)"
 
 
+def preflight(timeout_s: float = 90.0):
+    """Fail fast if the TPU grant is wedged.
+
+    Killing a TPU-attached process mid-execution holds the device grant
+    for ~15-25 min (CLAUDE.md hazard); every device op then hangs until
+    the lease expires. Probe with one trivial op under a watchdog so a
+    wedge surfaces as an immediate diagnostic instead of a silent hang
+    that eats the caller's whole timeout budget."""
+    import threading
+
+    done = threading.Event()
+
+    def probe():
+        float(jnp.ones(()) * 2.0)  # device->host fetch = real barrier
+        done.set()
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    if not done.wait(timeout_s):
+        print(json.dumps({
+            "metric": "supervised_train_edges_per_sec",
+            "value": 0.0,
+            "unit": "edges/s/chip",
+            "error": f"preflight device op hung >{timeout_s:.0f}s: TPU "
+                     "grant likely wedged by a previously killed "
+                     "process; retry after the ~15-25 min lease expires",
+        }), file=sys.stderr, flush=True)
+        os._exit(3)
+
+
 def main():
     dist = "uniform" if "--dist=uniform" in sys.argv or (
         "uniform" in sys.argv
     ) else "zipf"
+    preflight()
     step, params, opt_state, features, adj, ids, labels, mask = build(
         dist=dist
     )

@@ -185,12 +185,12 @@ def main():
             t0 = time.time()
             kw = dict(model=model, sigmoid=sigmoid)
             note = ""
-            if (sigmoid and not args.quick
-                    and model != "graphsage_mean"):
-                # pooled/seq need ~4x mean's epochs to escape the
-                # all-negative regime of the dense-multilabel sigmoid
-                # loss on this proxy — reference-replica behaves
-                # identically (see footer)
+            if sigmoid and not args.quick:
+                # pooled/seq need ~4x the reference-default 10 epochs to
+                # escape the all-negative regime of the dense-multilabel
+                # sigmoid loss on this proxy — reference-replica behaves
+                # identically (see footer); mean gets the same budget so
+                # the aggregator comparison is apples-to-apples
                 kw["epochs"] = 40
                 note = "40 ep (see footer)"
             flags = sup_flags(prefix, name, **kw)
@@ -247,10 +247,15 @@ def main():
         # n2v (DeepWalk) + logistic probe — transductive embedding
         # baseline over the same walks (reference n2v_big path)
         t0 = time.time()
+        # transductive: every node's embedding row needs enough visits —
+        # scale steps with node count (proxy-reddit at 3k steps sits at
+        # dummy level; 20k steps ~3 min on the chip)
+        n2v_steps = 3000 if name == "proxy-ppi" else 20000
         n2v_flags = sup_flags(
             prefix, name, model="n2v",
             learning_rate=0.01,
-            epochs=1, max_total_steps=60 if args.quick else 3000,
+            epochs=1 if name == "proxy-ppi" else 5,
+            max_total_steps=60 if args.quick else n2v_steps,
             random_context=True, save_embeddings=True,
             n2v_test_epochs=1,
         )

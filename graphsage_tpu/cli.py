@@ -85,6 +85,13 @@ def _add_common(p: argparse.ArgumentParser, defaults: TrainFlags):
                         "budget as a multiple of the balanced share; 0 "
                         "auto-sizes from the adjacency's shard-ownership "
                         "skew (overflowed requests are counted and warned)")
+    p.add_argument("--shard_layout", choices=("strided", "block"),
+                   default=d.shard_layout,
+                   help="--graph_shards row-ownership map: 'strided' "
+                        "(id %% n_shards) spreads degree-sorted hubs "
+                        "evenly so the exchange capacity sizes to the "
+                        "balanced share; 'block' keeps contiguous row "
+                        "ranges")
     p.add_argument("--defer_features", action=argparse.BooleanOptionalAction,
                    default=d.defer_features,
                    help="don't load the feature table up front: mmap it "

@@ -253,24 +253,48 @@ def load_feature_shard(
     shard padding) are zero. Peak memory is O(hi - lo + chunk) rows —
     never the full table. Requires ``load_data(load_features=False)``.
     """
+    return load_feature_rows(
+        graph, np.arange(lo, hi), normalize=normalize, stats=stats,
+        dtype=dtype, chunk=chunk,
+    )
+
+
+def load_feature_rows(
+    graph: GraphData,
+    node_ids: np.ndarray,
+    normalize: bool = True,
+    stats=None,
+    dtype=np.float32,
+    chunk: int = 65536,
+) -> np.ndarray:
+    """Rows ``node_ids`` of the compacted+padded feature table, reading
+    ONLY those rows from the deferred on-disk table (mmap fancy-index).
+
+    Ids >= num_nodes (the dummy node and shard padding) yield zero rows.
+    Non-contiguous id sets are how strided-layout shards load (each host
+    owns rows ``d::n_shards`` — parallel/graph_sharded.py::shard_rows);
+    peak memory is O(len(node_ids) + chunk) rows, never the full table.
+    Requires ``load_data(load_features=False)``.
+    """
     if graph.feature_meta is None:
         raise ValueError(
-            "load_feature_shard needs a deferred feature table — load the "
+            "load_feature_rows needs a deferred feature table — load the "
             "graph with load_data(..., load_features=False)"
         )
     path, _, F = graph.feature_meta
     mm = np.load(path, mmap_mode="r")
     n = graph.num_nodes
-    out = np.zeros((hi - lo, F), dtype=np.float32)
-    real = max(0, min(hi, n) - lo)
-    if real > 0:
-        file_rows = graph.feat_rows[lo:lo + real]
-        out[:real] = mm[file_rows]
+    node_ids = np.asarray(node_ids)
+    out = np.zeros((len(node_ids), F), dtype=np.float32)
+    real = node_ids < n
+    if real.any():
+        file_rows = graph.feat_rows[node_ids[real]]
+        out[real] = mm[file_rows]
         if normalize:
             mean, std = stats if stats is not None else feature_stats(
                 graph, chunk
             )
-            out[:real] = (out[:real] - mean) / std
+            out[real] = (out[real] - mean) / std
     return out.astype(dtype)
 
 

@@ -57,6 +57,10 @@ class SAGEConfig:
     sampler_mode: str = "shared_perm"  # reference parity + fast; or "independent"
     fused_gather: bool = False  # Pallas gather+mean for the innermost hop
     dedup_gather: bool = False  # skip duplicate-sample DMAs in the kernel
+    # P2 row-ownership map: "strided" (node id % n_shards — spreads
+    # degree-sorted hubs across shards, small exchange capacity) or
+    # "block" (contiguous ranges). See parallel/graph_sharded.py.
+    shard_layout: str = "strided"
 
     @property
     def input_dim(self) -> int:

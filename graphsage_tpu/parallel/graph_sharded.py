@@ -34,11 +34,27 @@ from graphsage_tpu.models.graphsage import (
 from graphsage_tpu.nn.sampler import sample_from_rows
 
 
-def shard_rows(table, n_shards: int):
-    """Pad a [N, ...] table with zero rows to a multiple of n_shards.
+def shard_rows(table, n_shards: int, layout: str = "strided"):
+    """Pad a [N, ...] table with zero rows to a multiple of n_shards and
+    order rows for contiguous splitting along the mesh axis.
 
-    Returns (padded table, shard_size). Row owners are contiguous:
-    shard d holds global rows [d*shard_size, (d+1)*shard_size).
+    Returns (device-layout table, shard_size). ``layout`` is the
+    row-ownership map:
+
+    - ``"strided"`` (default): shard d owns global rows ``d::n_shards``
+      (owner = id % n_shards). Real datasets and the bench graph order
+      ids by degree, so contiguous ownership parks every hub on shard 0
+      and the halo exchange needs near-worst-case per-destination
+      capacity; striding spreads hubs evenly, so capacity sizes to the
+      balanced share (benchmarks/halo_probe.py) — the degree-skew load
+      balancing the SURVEY flags as a P2 hard part.
+    - ``"block"``: shard d owns rows [d*shard_size, (d+1)*shard_size) —
+      row ranges stay contiguous on disk (A/B probes, range loaders).
+
+    The returned array is ALWAYS split contiguously (P("graph")); for
+    strided the rows are pre-permuted so that contiguous slice d holds
+    rows d::n_shards. Use the matching ``layout`` in exchange_gather /
+    SAGEConfig.shard_layout or gathers will read scrambled rows.
     """
     import numpy as np
 
@@ -51,17 +67,69 @@ def shard_rows(table, n_shards: int):
             table = np.pad(table, pad_widths)
         else:
             table = jnp.pad(table, pad_widths)
+    if layout == "strided" and n_shards > 1:
+        # device[d*ss + r] = canonical[r*D + d]
+        table = table.reshape(
+            (shard_size, n_shards) + table.shape[1:]
+        ).swapaxes(0, 1).reshape((shard_size * n_shards,) + table.shape[1:])
     return table, shard_size
+
+
+def _row_perm_apply(table, n_shards: int, to_canonical: bool):
+    """Reorder a padded [D*ss, ...] table between the strided device
+    layout (device[d*ss+r] = canonical[r*D+d]) and canonical id order."""
+    ss = table.shape[0] // n_shards
+    if to_canonical:
+        # device (D, ss) -> canonical (ss, D)
+        return table.reshape((n_shards, ss) + table.shape[1:]).swapaxes(
+            0, 1).reshape(table.shape)
+    return table.reshape((ss, n_shards) + table.shape[1:]).swapaxes(
+        0, 1).reshape(table.shape)
+
+
+def _map_embeds_leaves(tree, fn):
+    return jax.tree_util.tree_map_with_path(
+        lambda path, x: (
+            fn(x) if "embeds" in jax.tree_util.keystr(path) else x
+        ),
+        tree,
+    )
+
+
+def embeds_to_canonical(tree, n_shards: int, layout: str):
+    """Checkpoint canonicalization: reorder every 'embeds' leaf (the
+    identity table and its optimizer moments) from the device layout to
+    canonical id order. Checkpoints ALWAYS store canonical order, so a
+    run may save under one --shard_layout/--graph_shards and resume
+    under another (pad rows return to the tail, where the relaxed
+    cross-shard-count restore pads/truncates them exactly)."""
+    if layout != "strided" or n_shards <= 1:
+        return tree
+    return _map_embeds_leaves(
+        tree, lambda x: _row_perm_apply(x, n_shards, True))
+
+
+def embeds_to_device_layout(tree, n_shards: int, layout: str):
+    """Inverse of :func:`embeds_to_canonical` (after a restore)."""
+    if layout != "strided" or n_shards <= 1:
+        return tree
+    return _map_embeds_leaves(
+        tree, lambda x: _row_perm_apply(x, n_shards, False))
 
 
 def exchange_gather(local, idx, axis_name: str, capacity: int,
                     return_dropped: bool = False,
-                    split_local: bool = True):
+                    split_local: bool = True,
+                    layout: str = "strided"):
     """Gather global rows from a row-sharded table via all-to-all.
 
     Args:
-      local: [shard_size, ...] this device's rows.
+      local: [shard_size, ...] this device's rows (built by
+        :func:`shard_rows` with the SAME ``layout``).
       idx: [m] int32 global row ids (may point at any shard).
+      layout: row-ownership map — "strided" (owner = id % D, local row =
+        id // D) or "block" (owner = id // shard_size, local row =
+        id % shard_size). Must match how the table was sharded.
       capacity: static per-destination request budget. Requests beyond it
         are dropped and return zero rows — size it to the worst case for
         exactness (m covers everything).
@@ -86,10 +154,15 @@ def exchange_gather(local, idx, axis_name: str, capacity: int,
     m = idx.shape[0]
     bshape = (m,) + (1,) * (local.ndim - 1)
 
-    owner = (idx // shard_size).astype(jnp.int32)
+    if layout == "strided":
+        owner = (idx % D).astype(jnp.int32)
+        local_of = lambda i: (i // D).astype(jnp.int32)  # noqa: E731
+    else:
+        owner = (idx // shard_size).astype(jnp.int32)
+        local_of = lambda i: (i % shard_size).astype(jnp.int32)  # noqa: E731
 
     if split_local and D == 1:
-        rows = jnp.take(local, idx % shard_size, axis=0)
+        rows = jnp.take(local, local_of(idx), axis=0)
         if return_dropped:
             return rows, jnp.zeros((), jnp.int32)
         return rows
@@ -98,7 +171,7 @@ def exchange_gather(local, idx, axis_name: str, capacity: int,
         me = jax.lax.axis_index(axis_name)
         is_local = owner == me
         local_rows = jnp.take(
-            local, jnp.where(is_local, idx % shard_size, 0), axis=0
+            local, jnp.where(is_local, local_of(idx), 0), axis=0
         )
         local_rows = jnp.where(is_local.reshape(bshape), local_rows, 0)
         # Route local requests to sentinel segment D: they vanish from
@@ -122,7 +195,7 @@ def exchange_gather(local, idx, axis_name: str, capacity: int,
     # and sentinel owners index out of bounds and drop in the scatter.
     send = jnp.zeros((D, capacity), jnp.int32).at[
         jnp.where(valid, sorted_owner, D), jnp.where(valid, rank, 0)
-    ].set((sorted_idx % shard_size).astype(jnp.int32), mode="drop")
+    ].set(local_of(sorted_idx), mode="drop")
 
     # requests to me, one row per source device
     recv = jax.lax.all_to_all(send, axis_name, 0, 0, tiled=True)
@@ -160,21 +233,27 @@ def _capacity(m: int, n_shards: int, factor: float) -> int:
     return int(min(m, max(1, -(-m // n_shards) * factor)))
 
 
-def suggest_capacity_factor(adj, n_shards: int, margin: float = 1.5
-                            ) -> float:
+def suggest_capacity_factor(adj, n_shards: int, margin: float = 1.5,
+                            layout: str = "strided") -> float:
     """Auto-size the per-destination safety factor from the adjacency's
     shard-ownership histogram — the stationary distribution of one-hop
     frontier requests under uniform batch sampling. ``margin`` covers
     batch-to-batch fluctuation around that stationary skew; the runtime
     dropped-request counters (exchange_gather return_dropped) remain the
-    ground truth.
+    ground truth. ``layout`` must match the tables' shard_rows layout
+    (strided ownership flattens degree-rank skew, so its factor lands
+    near 1; block ownership inherits the full hub skew).
     """
     import numpy as np
 
     adj = np.asarray(adj)
-    n_rows = adj.shape[0]
-    shard_size = -(-n_rows // n_shards)  # matches shard_rows padding
-    counts = np.bincount(adj.ravel() // shard_size, minlength=n_shards)
+    flat = adj.ravel()
+    if layout == "strided":
+        counts = np.bincount(flat % n_shards, minlength=n_shards)
+    else:
+        n_rows = adj.shape[0]
+        shard_size = -(-n_rows // n_shards)  # matches shard_rows padding
+        counts = np.bincount(flat // shard_size, minlength=n_shards)
     mean = max(counts.mean(), 1.0)
     factor = float(counts.max()) / mean * margin
     return float(min(n_shards, max(1.0, factor)))
@@ -261,6 +340,7 @@ def sharded_sage_embed(
     fanouts = config.fanouts
     n_layers = len(fanouts)
     split_local = halo == "overlap"
+    layout = config.shard_layout
 
     dropped = jnp.zeros((), jnp.int32)
     keys = jax.random.split(rng, n_layers + 1)
@@ -272,14 +352,14 @@ def sharded_sage_embed(
         if config.identity_dim > 0:
             rows, d = exchange_gather(
                 params["embeds"], s, axis_name, cap, return_dropped=True,
-                split_local=split_local,
+                split_local=split_local, layout=layout,
             )
             dropped += d
             parts.append(rows)
         if feat_local is not None and config.feature_dim > 0:
             feats, d = exchange_gather(
                 feat_local, s, axis_name, cap, return_dropped=True,
-                split_local=split_local,
+                split_local=split_local, layout=layout,
             )
             dropped += d
             parts.append(feats[:, : config.feature_dim])
@@ -301,7 +381,7 @@ def sharded_sage_embed(
         adj_rows, d = exchange_gather(
             adj_local, samples[k], axis_name,
             _capacity(m, D, capacity_factor), return_dropped=True,
-            split_local=split_local,
+            split_local=split_local, layout=layout,
         )
         dropped += d
         nxt = sample_from_rows(

@@ -74,6 +74,10 @@ class TrainFlags:
     graph_shards: int = 1       # row-shard tables over N devices (P2)
     data_shards: int = 1        # pure data parallelism over N devices (P1)
     capacity_factor: float = 0.0  # P2 all-to-all budget; 0 = auto-size
+    shard_layout: str = "strided"  # P2 row ownership: "strided" spreads
+                                   # degree-sorted hubs across shards
+                                   # (small exchange capacity); "block"
+                                   # keeps contiguous on-disk ranges
     defer_features: bool = False  # mmap the feature table; each host
                                   # materializes only its --graph_shards
                                   # row range (SURVEY §7 stage 7)

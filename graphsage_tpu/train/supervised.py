@@ -51,6 +51,7 @@ def build_supervised_config(flags: TrainFlags, graph) -> SupervisedConfig:
         sampler_mode=flags.sampler_mode,
         fused_gather=flags.fused_gather,
         dedup_gather=flags.dedup_gather,
+        shard_layout=flags.shard_layout,
     )
     return SupervisedConfig(
         sage=sage,
@@ -441,7 +442,8 @@ def train(flags: TrainFlags, graph=None) -> dict:
     }
 
 
-def _place_sharded_features(graph, D: int, mesh, feature_dtype: str):
+def _place_sharded_features(graph, D: int, mesh, feature_dtype: str,
+                            layout: str = "strided"):
     """Row-sharded placement of the dummy-padded feature table on the
     ("graph",) mesh.
 
@@ -465,21 +467,28 @@ def _place_sharded_features(graph, D: int, mesh, feature_dtype: str):
     feats_np = graph.padded_features()
     if feats_np is not None:
         return put_global(
-            shard_rows(feats_np.astype(feature_dtype), D)[0],
+            shard_rows(feats_np.astype(feature_dtype), D, layout)[0],
             mesh, P("graph"),
         )
     if graph.feature_meta is None:
         return None
 
-    from graphsage_tpu.data.io import feature_stats, load_feature_shard
+    from graphsage_tpu.data.io import feature_stats, load_feature_rows
 
     n_pad = graph.num_nodes + 1  # + dummy row
     shard_size = -(-n_pad // D)
     stats = feature_stats(graph)  # one chunked mmap pass per host
 
     def loader(lo: int, hi: int):
-        return load_feature_shard(
-            graph, lo, hi, stats=stats, dtype=feature_dtype
+        # rows [lo, hi) of the DEVICE-layout table: strided shard d's
+        # local row r holds node r*D + d (shard_rows ordering)
+        v = np.arange(lo, hi)
+        if layout == "strided" and D > 1:
+            node_ids = (v % shard_size) * D + v // shard_size
+        else:
+            node_ids = v
+        return load_feature_rows(
+            graph, node_ids, stats=stats, dtype=feature_dtype
         )
 
     return put_global_rows(
@@ -527,15 +536,18 @@ def _train_sharded(flags: TrainFlags, graph) -> dict:
     # addressable row shards (multi-host safe; plain device_put otherwise).
     # Deferred tables instead stream ONLY this host's row range off disk
     # (put_global_rows + load_feature_shard — SURVEY §7 stage 7).
-    feat_sh = _place_sharded_features(graph, D, mesh, flags.feature_dtype)
-    train_adj_sh = put_global(shard_rows(train_adj_np, D)[0], mesh,
-                              P("graph"))
-    full_adj_sh = put_global(shard_rows(full_adj_np, D)[0], mesh,
-                             P("graph"))
+    layout = flags.shard_layout
+    feat_sh = _place_sharded_features(graph, D, mesh, flags.feature_dtype,
+                                      layout)
+    train_adj_sh = put_global(shard_rows(train_adj_np, D, layout)[0],
+                              mesh, P("graph"))
+    full_adj_sh = put_global(shard_rows(full_adj_np, D, layout)[0],
+                             mesh, P("graph"))
     cap_factor = flags.capacity_factor or suggest_capacity_factor(
-        full_adj_np, D
+        full_adj_np, D, layout=layout
     )
-    print(f"graph_shards={D} capacity_factor={cap_factor:.2f}"
+    print(f"graph_shards={D} layout={layout} "
+          f"capacity_factor={cap_factor:.2f}"
           + (" (auto)" if not flags.capacity_factor else ""))
 
     key = jax.random.key(flags.seed)
@@ -543,7 +555,7 @@ def _train_sharded(flags: TrainFlags, graph) -> dict:
     params = init_supervised_params(init_key, config)
     if config.sage.identity_dim > 0:
         params["embeds"] = put_global(
-            shard_rows(np.asarray(params["embeds"]), D)[0], mesh,
+            shard_rows(np.asarray(params["embeds"]), D, layout)[0], mesh,
             P("graph"),
         )
     params = replicate_unsharded(params, mesh)
@@ -626,10 +638,25 @@ def _train_sharded(flags: TrainFlags, graph) -> dict:
 
     logger = ScalarLogger(log_dir)
     total_steps = 0
+    # Checkpoints store the identity table in CANONICAL id order so a
+    # run can resume under a different --shard_layout / --graph_shards
+    # (parallel/graph_sharded.py::embeds_to_canonical).
+    from graphsage_tpu.parallel.graph_sharded import (
+        embeds_to_canonical,
+        embeds_to_device_layout,
+    )
+
+    def ckpt_save(step):
+        ckpt.save(flags.checkpoint_dir,
+                  embeds_to_canonical(params, D, layout),
+                  embeds_to_canonical(opt_state, D, layout), step)
+
     if flags.checkpoint_dir and flags.resume:
         restored = ckpt.restore(flags.checkpoint_dir, params, opt_state)
         if restored is not None:
             params, opt_state, total_steps = restored
+            params = embeds_to_device_layout(params, D, layout)
+            opt_state = embeds_to_device_layout(opt_state, D, layout)
             print(f"Resumed from checkpoint at step {total_steps}")
     val_cost = val_f1_mic = val_f1_mac = 0.0
     avg_time = 0.0
@@ -706,8 +733,7 @@ def _train_sharded(flags: TrainFlags, graph) -> dict:
                     logger.log_histograms(total_steps - 1, params)
             if (flags.checkpoint_dir and flags.checkpoint_every
                     and total_steps % flags.checkpoint_every < n):
-                ckpt.save(flags.checkpoint_dir, params, opt_state,
-                          total_steps)
+                ckpt_save(total_steps)
             if total_steps > flags.max_total_steps:
                 stop = True
                 break
@@ -736,7 +762,7 @@ def _train_sharded(flags: TrainFlags, graph) -> dict:
             )
         )
     if flags.checkpoint_dir:
-        ckpt.save(flags.checkpoint_dir, params, opt_state, total_steps)
+        ckpt_save(total_steps)
     logger.log(total_steps, final_val_f1_mic=val_f1_mic,
                final_test_f1_mic=test_f1_mic)
     logger.close()

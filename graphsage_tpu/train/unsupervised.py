@@ -52,6 +52,7 @@ def build_unsupervised_config(flags: TrainFlags, graph) -> UnsupervisedConfig:
         sampler_mode=flags.sampler_mode,
         fused_gather=flags.fused_gather,
         dedup_gather=flags.dedup_gather,
+        shard_layout=flags.shard_layout,
     )
     return UnsupervisedConfig(
         sage=sage,
@@ -592,16 +593,19 @@ def _train_sharded(flags: TrainFlags, graph, deg, batcher: EdgeBatcher,
     )
     from graphsage_tpu.train.supervised import _place_sharded_features
 
-    feat_sh = _place_sharded_features(graph, D, mesh, flags.feature_dtype)
-    train_adj_sh = put_global(shard_rows(train_adj_np, D)[0], mesh,
-                              P("graph"))
-    full_adj_sh = put_global(shard_rows(full_adj_np, D)[0], mesh,
-                             P("graph"))
+    layout = flags.shard_layout
+    feat_sh = _place_sharded_features(graph, D, mesh, flags.feature_dtype,
+                                      layout)
+    train_adj_sh = put_global(shard_rows(train_adj_np, D, layout)[0],
+                              mesh, P("graph"))
+    full_adj_sh = put_global(shard_rows(full_adj_np, D, layout)[0],
+                             mesh, P("graph"))
     neg_cdf = jnp.asarray(unigram_cdf(deg))
     cap_factor = flags.capacity_factor or suggest_capacity_factor(
-        full_adj_np, D
+        full_adj_np, D, layout=layout
     )
-    print(f"graph_shards={D} capacity_factor={cap_factor:.2f}"
+    print(f"graph_shards={D} layout={layout} "
+          f"capacity_factor={cap_factor:.2f}"
           + (" (auto)" if not flags.capacity_factor else ""))
     dropped_total = 0
 
@@ -620,7 +624,7 @@ def _train_sharded(flags: TrainFlags, graph, deg, batcher: EdgeBatcher,
     params = init_unsupervised_params(init_key, config)
     if config.sage.identity_dim > 0:
         params["embeds"] = put_global(
-            shard_rows(np.asarray(params["embeds"]), D)[0], mesh,
+            shard_rows(np.asarray(params["embeds"]), D, layout)[0], mesh,
             P("graph"),
         )
     from graphsage_tpu.parallel.distributed import replicate_unsharded
@@ -665,10 +669,25 @@ def _train_sharded(flags: TrainFlags, graph, deg, batcher: EdgeBatcher,
         val_pairs_dev = jnp.asarray(pad_pairs(batcher.val_pairs, B, dummy))
 
     total_steps = 0
+    # Checkpoints store the identity table in CANONICAL id order so a
+    # run can resume under a different --shard_layout / --graph_shards
+    # (parallel/graph_sharded.py::embeds_to_canonical).
+    from graphsage_tpu.parallel.graph_sharded import (
+        embeds_to_canonical,
+        embeds_to_device_layout,
+    )
+
+    def ckpt_save(step):
+        ckpt.save(flags.checkpoint_dir,
+                  embeds_to_canonical(params, D, layout),
+                  embeds_to_canonical(opt_state, D, layout), step)
+
     if flags.checkpoint_dir and flags.resume:
         restored = ckpt.restore(flags.checkpoint_dir, params, opt_state)
         if restored is not None:
             params, opt_state, total_steps = restored
+            params = embeds_to_device_layout(params, D, layout)
+            opt_state = embeds_to_device_layout(opt_state, D, layout)
             print(f"Resumed from checkpoint at step {total_steps}")
 
     from graphsage_tpu.train.tblog import ScalarLogger
@@ -755,8 +774,7 @@ def _train_sharded(flags: TrainFlags, graph, deg, batcher: EdgeBatcher,
                     logger.log_histograms(total_steps - 1, params)
             if (flags.checkpoint_dir and flags.checkpoint_every
                     and total_steps % flags.checkpoint_every < n):
-                ckpt.save(flags.checkpoint_dir, params, opt_state,
-                          total_steps)
+                ckpt_save(total_steps)
             if total_steps > flags.max_total_steps:
                 stop = True
                 break
@@ -796,7 +814,7 @@ def _train_sharded(flags: TrainFlags, graph, deg, batcher: EdgeBatcher,
             fp.write("\n".join(map(str, graph.node_ids)))
 
     if flags.checkpoint_dir:
-        ckpt.save(flags.checkpoint_dir, params, opt_state, total_steps)
+        ckpt_save(total_steps)
 
     return {
         "params": params,

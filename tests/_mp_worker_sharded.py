@@ -36,7 +36,7 @@ from graphsage_tpu.data.adjacency import build_both_adjs  # noqa: E402
 from graphsage_tpu.data.io import (  # noqa: E402
     feature_stats,
     load_data,
-    load_feature_shard,
+    load_feature_rows,
 )
 from graphsage_tpu.models.graphsage import LayerInfo, SAGEConfig  # noqa: E402
 from graphsage_tpu.models.supervised import (  # noqa: E402
@@ -74,7 +74,12 @@ requested = []
 
 def loader(lo, hi):
     requested.append((lo, hi))
-    return load_feature_shard(lazy, lo, hi, stats=stats)
+    # rows [lo, hi) of the STRIDED device-layout table: local row r of
+    # shard d holds node r*D + d (shard_rows default layout; mirrors
+    # train/supervised.py::_place_sharded_features)
+    v = np.arange(lo, hi)
+    node_ids = (v % shard_size) * D + v // shard_size
+    return load_feature_rows(lazy, node_ids, stats=stats)
 
 
 feat_sh = put_global_rows(
