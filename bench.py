@@ -138,15 +138,22 @@ def measured_baseline():
         return 2.0e6, "ESTIMATED TF1-GPU rate (measured file missing)"
 
 
-def preflight(timeout_s: float = 90.0):
+def preflight(timeout_s: float = 150.0):
     """Fail fast if the TPU grant is wedged.
 
     Killing a TPU-attached process mid-execution holds the device grant
     for ~15-25 min (CLAUDE.md hazard); every device op then hangs until
     the lease expires. Probe with one trivial op under a watchdog so a
     wedge surfaces as an immediate diagnostic instead of a silent hang
-    that eats the caller's whole timeout budget."""
+    that eats the caller's whole timeout budget. The watchdog must sit
+    ABOVE the 60-100s cold remote-compile latency (importing
+    graphsage_tpu.train first enables the persistent compile cache, so
+    a warm probe is ~1s); the error JSON goes to STDOUT — the
+    documented invocation discards stderr, and the one-JSON-line
+    contract should hold on the failure path too."""
     import threading
+
+    import graphsage_tpu.train  # noqa: F401  (persistent compile cache)
 
     done = threading.Event()
 
@@ -164,7 +171,7 @@ def preflight(timeout_s: float = 90.0):
             "error": f"preflight device op hung >{timeout_s:.0f}s: TPU "
                      "grant likely wedged by a previously killed "
                      "process; retry after the ~15-25 min lease expires",
-        }), file=sys.stderr, flush=True)
+        }), flush=True)
         os._exit(3)
 
 

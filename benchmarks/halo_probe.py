@@ -156,9 +156,15 @@ def min_capacity_zero_drops(halo: str, layout: str = "strided"):
     for cap in np.arange(0.5, 8.01, 0.5):
         f, args = build(halo, capacity_factor=float(cap),
                         return_stats=True, layout=layout)
-        params, feat_sh, adj_sh, ids, _ = args
+        params, feat_sh, adj_sh, _, _ = args
         total = 0
+        rng = np.random.default_rng(7)
         for i in range(4):
+            # distinct uniform batches each step (first_k sampling is
+            # deterministic, so varying only the rng key would re-probe
+            # the identical frontier 4 times)
+            ids = jnp.asarray(rng.integers(
+                0, NUM_NODES, (BATCH,), dtype=np.int32))
             _, d = f(params, feat_sh, adj_sh, ids, jax.random.key(i))
             total += int(d)
         if total == 0:

@@ -236,6 +236,20 @@ def feature_stats(graph: GraphData, chunk: int = 65536):
     return mean.astype(np.float32), std.astype(np.float32)
 
 
+def materialize_features(graph: GraphData) -> GraphData:
+    """Graph with its features in memory: a deferred table is read fully
+    into a shallow COPY of ``graph`` (the caller's GraphData is never
+    mutated — it stays deferred for e.g. a later per-host sharded run).
+    Eager graphs pass through unchanged."""
+    if graph.features is not None or graph.feature_meta is None:
+        return graph
+    import dataclasses
+
+    return dataclasses.replace(
+        graph, features=load_feature_shard(graph, 0, graph.num_nodes)
+    )
+
+
 def load_feature_shard(
     graph: GraphData,
     lo: int,

@@ -68,10 +68,7 @@ def shard_rows(table, n_shards: int, layout: str = "strided"):
         else:
             table = jnp.pad(table, pad_widths)
     if layout == "strided" and n_shards > 1:
-        # device[d*ss + r] = canonical[r*D + d]
-        table = table.reshape(
-            (shard_size, n_shards) + table.shape[1:]
-        ).swapaxes(0, 1).reshape((shard_size * n_shards,) + table.shape[1:])
+        table = _row_perm_apply(table, n_shards, to_canonical=False)
     return table, shard_size
 
 
@@ -85,6 +82,18 @@ def _row_perm_apply(table, n_shards: int, to_canonical: bool):
             0, 1).reshape(table.shape)
     return table.reshape((ss, n_shards) + table.shape[1:]).swapaxes(
         0, 1).reshape(table.shape)
+
+
+def device_rows_to_node_ids(device_rows, n_shards: int, shard_size: int,
+                            layout: str = "strided"):
+    """Node ids held at the given DEVICE-layout row indices — the
+    inverse of :func:`shard_rows`'s ordering, for loaders that read a
+    device-row range straight off disk (e.g. per-host deferred feature
+    loading). Strided: device row d*ss + r holds node r*D + d."""
+    if layout == "strided" and n_shards > 1:
+        return ((device_rows % shard_size) * n_shards
+                + device_rows // shard_size)
+    return device_rows
 
 
 def _map_embeds_leaves(tree, fn):

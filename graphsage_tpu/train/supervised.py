@@ -145,12 +145,11 @@ def train(flags: TrainFlags, graph=None) -> dict:
     if flags.graph_shards > 1:
         return _train_sharded(flags, graph)
 
-    if graph.features is None and graph.feature_meta is not None:
-        # Deferred table but a single-device run: materialize it fully
-        # (per-host shard loading only pays off under --graph_shards).
-        from graphsage_tpu.data.io import load_feature_shard
+    # Deferred table but a single-device run: materialize it fully into
+    # a copy (per-host shard loading only pays off under --graph_shards).
+    from graphsage_tpu.data.io import materialize_features
 
-        graph.features = load_feature_shard(graph, 0, graph.num_nodes)
+    graph = materialize_features(graph)
 
     if flags.n_model_shards > 1:
         # feature-dim TP runs under GSPMD; the Pallas fused gather is an
@@ -480,13 +479,13 @@ def _place_sharded_features(graph, D: int, mesh, feature_dtype: str,
     stats = feature_stats(graph)  # one chunked mmap pass per host
 
     def loader(lo: int, hi: int):
-        # rows [lo, hi) of the DEVICE-layout table: strided shard d's
-        # local row r holds node r*D + d (shard_rows ordering)
-        v = np.arange(lo, hi)
-        if layout == "strided" and D > 1:
-            node_ids = (v % shard_size) * D + v // shard_size
-        else:
-            node_ids = v
+        from graphsage_tpu.parallel.graph_sharded import (
+            device_rows_to_node_ids,
+        )
+
+        node_ids = device_rows_to_node_ids(
+            np.arange(lo, hi), D, shard_size, layout
+        )
         return load_feature_rows(
             graph, node_ids, stats=stats, dtype=feature_dtype
         )

@@ -199,14 +199,6 @@ def train(flags: TrainFlags, graph=None) -> dict:
                           load_features=not flags.defer_features)
         print("Done loading training data..")
 
-    if (graph.features is None and graph.feature_meta is not None
-            and flags.graph_shards <= 1):
-        # Deferred table but a single-device run: materialize it fully
-        # (per-host shard loading only pays off under --graph_shards).
-        from graphsage_tpu.data.io import load_feature_shard
-
-        graph.features = load_feature_shard(graph, 0, graph.num_nodes)
-
     train_adj_np, deg, full_adj_np = build_both_adjs(
         graph, flags.max_degree, seed=flags.seed
     )
@@ -218,10 +210,17 @@ def train(flags: TrainFlags, graph=None) -> dict:
     log_dir = flags.log_dir("unsupervised")
 
     if flags.model == "n2v":
+        # n2v is embedding-only: never materialize a deferred table
         return _train_n2v(flags, graph, deg, batcher, log_dir)
 
     if flags.graph_shards > 1:
         return _train_sharded(flags, graph, deg, batcher, log_dir)
+
+    # Deferred table but a single-device run: materialize it fully into
+    # a copy (per-host shard loading only pays off under --graph_shards).
+    from graphsage_tpu.data.io import materialize_features
+
+    graph = materialize_features(graph)
 
     config = build_unsupervised_config(flags, graph)
     feats_np = graph.padded_features()

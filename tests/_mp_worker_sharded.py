@@ -52,6 +52,7 @@ from graphsage_tpu.parallel.distributed import (  # noqa: E402
 )
 from graphsage_tpu.parallel.dp import make_supervised_chunk_runner  # noqa: E402
 from graphsage_tpu.parallel.graph_sharded import (  # noqa: E402
+    device_rows_to_node_ids,
     make_sharded_supervised_chunk_runner,
     shard_rows,
 )
@@ -74,11 +75,9 @@ requested = []
 
 def loader(lo, hi):
     requested.append((lo, hi))
-    # rows [lo, hi) of the STRIDED device-layout table: local row r of
-    # shard d holds node r*D + d (shard_rows default layout; mirrors
-    # train/supervised.py::_place_sharded_features)
-    v = np.arange(lo, hi)
-    node_ids = (v % shard_size) * D + v // shard_size
+    # rows [lo, hi) of the STRIDED device-layout table (shard_rows
+    # default layout; mirrors train/supervised.py::_place_sharded_features)
+    node_ids = device_rows_to_node_ids(np.arange(lo, hi), D, shard_size)
     return load_feature_rows(lazy, node_ids, stats=stats)
 
 
