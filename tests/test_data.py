@@ -270,6 +270,35 @@ def test_deferred_feature_shard_matches_full_load(tmp_path, toy_graph):
                                    atol=1e-5)
 
 
+def test_materialize_features_copies_and_load_rows_strided(
+        tmp_path, toy_graph):
+    """materialize_features never mutates the caller's deferred graph
+    (it returns a copy), and load_feature_rows serves arbitrary
+    non-contiguous id sets (the strided per-host loading path)."""
+    from graphsage_tpu.data.io import (
+        load_feature_rows,
+        materialize_features,
+    )
+
+    prefix = str(tmp_path / "toy")
+    write_dataset(toy_graph, prefix)
+    full = load_data(prefix)
+    lazy = load_data(prefix, load_features=False)
+
+    mat = materialize_features(lazy)
+    assert lazy.features is None  # caller's graph untouched
+    np.testing.assert_allclose(mat.features, full.features,
+                               rtol=1e-5, atol=1e-5)
+    assert materialize_features(full) is full  # eager passes through
+
+    n = full.num_nodes
+    ids = np.array([n + 1, 0, 7, n, 3, 7], dtype=np.int64)  # dups + pads
+    rows = load_feature_rows(lazy, ids)
+    padded = np.vstack([full.features,
+                        np.zeros((2, full.features.shape[1]), np.float32)])
+    np.testing.assert_allclose(rows, padded[ids], rtol=1e-5, atol=1e-5)
+
+
 def test_put_global_rows_loads_only_local_ranges(toy_graph, tmp_path):
     """put_global_rows materializes exactly the addressable row ranges
     and the assembled global equals a put_global of the full table."""
