@@ -22,9 +22,14 @@ benchmarks/reference_baseline.py — a tf.compat.v1 re-enactment of the
 reference's supervised step (same shape, per-step feed_dict) timed on
 this machine's CPU (the reference pins TF1.8-GPU, unavailable here).
 ``roofline_frac`` reports step bytes-moved against the v5e ~819 GB/s
-HBM peak; ``wall_frac`` reports the BINDING constraint — the fused
-inner-hop gather's achieved row-DMAs/s against the measured ~36M/s
-scalar-issue wall (benchmarks/KERNEL_NOTES.md facts 2-4).
+HBM peak; ``wall_frac`` reports the fused inner-hop gather's achieved
+row-DMAs/s against the measured ~36M/s scalar-issue wall
+(benchmarks/KERNEL_NOTES.md facts 2-4) — the binding constraint of the
+step program in isolation. Values >1 are real: the headline timing
+runs the trainers' chunked fori_loop mode, where step k+1's
+params-independent sampling + gather DMA issues overlap step k's
+backward/Adam tail, hiding part of the wall across step boundaries
+(``sec_per_step_dispatch`` shows the unoverlapped per-dispatch mode).
 
 Prints exactly one JSON line.
 """
@@ -81,6 +86,7 @@ def build(fused: bool = True, dist: str = "zipf"):
         aggregator="mean",
         concat=True,
         fused_gather=fused,
+        num_nodes=NUM_NODES,
     )
     config = SupervisedConfig(sage=sage, num_classes=NUM_CLASSES,
                               sigmoid_loss=False, weight_decay=0.0)
@@ -195,6 +201,7 @@ def main():
     # chained run amortizes the ~40ms tunnel round-trip.
     float(loss)
 
+    # Secondary diagnostic: per-step dispatch (one jit call per step).
     # best of 3 trials: the shared tunnel adds ±7% run-to-run noise and
     # occasional multi-ms stalls; min-time is the honest device capability
     best_dt = float("inf")
@@ -206,6 +213,65 @@ def main():
                                            adj, ids, labels, mask)
         float(loss)
         best_dt = min(best_dt, time.perf_counter() - t0)
+    sec_per_step_dispatch = best_dt / ITERS
+
+    # HEADLINE: the trainers' actual execution mode — device-resident
+    # chunked epochs (lax.fori_loop inside one dispatch, rng folded
+    # in-device; parallel/dp.py::make_supervised_chunk_runner). Beyond
+    # killing per-step dispatch overhead, the loop lets the runtime
+    # overlap step k+1's params-independent sampling+gather DMA issues
+    # with step k's backward/Adam tail — measured ~20% faster than
+    # per-step dispatch of the identical step program.
+    from graphsage_tpu.models.graphsage import LayerInfo, SAGEConfig
+    from graphsage_tpu.models.supervised import (
+        SupervisedConfig,
+        init_supervised_params,
+        make_optimizer,
+    )
+    from graphsage_tpu.parallel.dp import make_supervised_chunk_runner
+
+    sage = SAGEConfig(
+        layers=(LayerInfo(FANOUTS[0], DIMS[0]),
+                LayerInfo(FANOUTS[1], DIMS[1])),
+        feature_dim=FEAT_DIM,  # the forward slices the lane-padded table
+        aggregator="mean",
+        concat=True,
+        fused_gather=True,
+        num_nodes=NUM_NODES,
+    )
+    sup = SupervisedConfig(sage=sage, num_classes=NUM_CLASSES,
+                           sigmoid_loss=False, weight_decay=0.0)
+    rng_np = np.random.default_rng(3)
+    cparams = init_supervised_params(jax.random.key(0), sup)
+    optimizer = make_optimizer(1e-2)
+    copt = optimizer.init(cparams)
+    runner = make_supervised_chunk_runner(sup, optimizer, BATCH)
+    labels_table = np.zeros((NUM_NODES + 1, NUM_CLASSES), np.float32)
+    labels_table[np.arange(NUM_NODES),
+                 rng_np.integers(0, NUM_CLASSES, NUM_NODES)] = 1.0
+    labels_dev = jnp.asarray(labels_table)
+    n_total = (2 + 3) * ITERS  # 2 warmup + 3 timed chunks of ITERS steps
+    ids_perm = jnp.asarray(rng_np.integers(
+        0, NUM_NODES, (n_total * BATCH,), dtype=np.int32))
+    ckey = jax.random.key(11)
+    start = 0
+    for _ in range(2):
+        cparams, copt, loss, *_ = runner(
+            cparams, copt, ckey, features, adj, ids_perm, labels_dev,
+            start, ITERS,
+        )
+        start += ITERS
+    float(loss)
+    best_dt = float("inf")
+    for _trial in range(3):
+        t0 = time.perf_counter()
+        cparams, copt, loss, *_ = runner(
+            cparams, copt, ckey, features, adj, ids_perm, labels_dev,
+            start, ITERS,
+        )
+        assert np.isfinite(float(loss))
+        best_dt = min(best_dt, time.perf_counter() - t0)
+        start += ITERS
 
     sec_per_step = best_dt / ITERS
     edges_per_step = BATCH * (FANOUTS[1] + FANOUTS[1] * FANOUTS[0])
@@ -234,6 +300,7 @@ def main():
         "baseline_edges_per_sec": ref_rate,
         "graph_dist": dist,
         "sec_per_step": round(sec_per_step, 6),
+        "sec_per_step_dispatch": round(sec_per_step_dispatch, 6),
         "roofline_frac": round(roofline_frac, 4),
         "wall_frac": round(wall_frac, 4),
     }))

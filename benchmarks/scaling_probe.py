@@ -92,12 +92,17 @@ def run_at(D: int) -> float:
         suggest_capacity_factor,
     )
 
+    from graphsage_tpu.ops.gather import pad_feature_dim
+
     sage = SAGEConfig(
         layers=(LayerInfo(FANOUTS[0], DIMS[0]),
                 LayerInfo(FANOUTS[1], DIMS[1])),
         feature_dim=FEAT_DIM,
         aggregator="mean",
         num_nodes=NUM_NODES,
+        # engages the fused inner-hop gather on single-shard meshes
+        # (graph_sharded.py fuse_inner); inert at D>1
+        fused_gather=True,
     )
     sup = SupervisedConfig(sage=sage, num_classes=NUM_CLASSES,
                            sigmoid_loss=False, weight_decay=0.0)
@@ -107,6 +112,10 @@ def run_at(D: int) -> float:
         rng.standard_normal((NUM_NODES, FEAT_DIM)).astype(np.float32),
         np.zeros((1, FEAT_DIM), np.float32),
     ])
+    if D == 1:
+        # lane-align for the fused inner-hop kernel; padding at D>1
+        # would inflate the all-to-all payload 602->640 for nothing
+        feats = pad_feature_dim(feats)
     adj = np.asarray(zipf_adjacency(rng))
     labels_table = np.zeros((NUM_NODES + 1, NUM_CLASSES), np.float32)
     labels_table[np.arange(NUM_NODES),

@@ -350,6 +350,22 @@ def sharded_sage_embed(
     n_layers = len(fanouts)
     split_local = halo == "overlap"
     layout = config.shard_layout
+    # Single-shard fast path for the innermost hop: with one shard every
+    # row is local, so the Pallas fused gather+mean (ops/gather.py) can
+    # serve the dominant [B*prod(fanouts), F] gather exactly as the
+    # unsharded sage_embed does (same eligibility: mean-only use of the
+    # rows, no trainable identity rows in them, no pre-mean dropout).
+    # Measured: the sharded runner at D=1 was 77% of the plain path with
+    # the XLA take here (benchmarks/KERNEL_NOTES.md scaling baseline).
+    fuse_inner = (
+        D == 1
+        and config.fused_gather
+        and config.aggregator == "mean"
+        and config.identity_dim == 0
+        and feat_local is not None
+        and config.feature_dim > 0
+        and (deterministic or config.dropout == 0.0)
+    )
 
     dropped = jnp.zeros((), jnp.int32)
     keys = jax.random.split(rng, n_layers + 1)
@@ -398,17 +414,35 @@ def sharded_sage_embed(
         )
         samples.append(nxt.reshape(-1))
         if halo == "overlap":
-            h, dropped = gather_level(samples[-1], dropped)
-            hidden.append(h)
+            if fuse_inner and k == n_layers - 1:
+                hidden.append(None)  # served by last_hop_neigh_mean
+            else:
+                h, dropped = gather_level(samples[-1], dropped)
+                hidden.append(h)
 
     if halo != "overlap":
-        for s in samples:
-            h, dropped = gather_level(s, dropped)
-            hidden.append(h)
+        for i, s in enumerate(samples):
+            if fuse_inner and i == len(samples) - 1:
+                hidden.append(None)
+            else:
+                h, dropped = gather_level(s, dropped)
+                hidden.append(h)
+
+    last_mean = None
+    if fuse_inner:
+        from graphsage_tpu.ops.gather import fused_gather_mean
+
+        idx2 = samples[-1].reshape(-1, fanouts[0])
+        last_mean = fused_gather_mean(
+            feat_local, idx2, dedup=config.dedup_gather
+        )
+        if last_mean.shape[1] != config.feature_dim:
+            last_mean = last_mean[:, : config.feature_dim]
     out = aggregate_pyramid(
         params, hidden, ids.shape[0], config,
         rng=None if deterministic else keys[-1],
         deterministic=deterministic,
+        last_hop_neigh_mean=last_mean,
     )
     if return_stats:
         return out, dropped

@@ -442,7 +442,8 @@ def train(flags: TrainFlags, graph=None) -> dict:
 
 
 def _place_sharded_features(graph, D: int, mesh, feature_dtype: str,
-                            layout: str = "strided"):
+                            layout: str = "strided",
+                            lane_pad: bool = False):
     """Row-sharded placement of the dummy-padded feature table on the
     ("graph",) mesh.
 
@@ -454,6 +455,11 @@ def _place_sharded_features(graph, D: int, mesh, feature_dtype: str,
     materializes the full table — the multi-host story for feature
     tables larger than one host's RAM (SURVEY §7 stage 7). Deferred
     tables are always train-standardized (the trainers' load contract).
+
+    ``lane_pad`` zero-pads the feature dim to the Pallas lane multiple
+    (ops/gather.py::pad_feature_dim) so the fused gather+mean kernel can
+    serve the innermost hop on single-shard meshes; the sharded forward
+    slices back to ``feature_dim`` (graph_sharded.py::gather_level).
     """
     from jax.sharding import PartitionSpec as P
 
@@ -463,8 +469,13 @@ def _place_sharded_features(graph, D: int, mesh, feature_dtype: str,
     )
     from graphsage_tpu.parallel.graph_sharded import shard_rows
 
+    if lane_pad:
+        from graphsage_tpu.ops.gather import pad_feature_dim
+
     feats_np = graph.padded_features()
     if feats_np is not None:
+        if lane_pad:
+            feats_np = pad_feature_dim(feats_np)
         return put_global(
             shard_rows(feats_np.astype(feature_dtype), D, layout)[0],
             mesh, P("graph"),
@@ -477,6 +488,9 @@ def _place_sharded_features(graph, D: int, mesh, feature_dtype: str,
     n_pad = graph.num_nodes + 1  # + dummy row
     shard_size = -(-n_pad // D)
     stats = feature_stats(graph)  # one chunked mmap pass per host
+    F = graph.feature_dim
+    F_dev = (pad_feature_dim(np.zeros((1, F), np.float32)).shape[1]
+             if lane_pad else F)
 
     def loader(lo: int, hi: int):
         from graphsage_tpu.parallel.graph_sharded import (
@@ -486,12 +500,15 @@ def _place_sharded_features(graph, D: int, mesh, feature_dtype: str,
         node_ids = device_rows_to_node_ids(
             np.arange(lo, hi), D, shard_size, layout
         )
-        return load_feature_rows(
+        rows = load_feature_rows(
             graph, node_ids, stats=stats, dtype=feature_dtype
         )
+        if F_dev != F:
+            rows = np.pad(rows, [(0, 0), (0, F_dev - F)])
+        return rows
 
     return put_global_rows(
-        (shard_size * D, graph.feature_dim), feature_dtype, mesh,
+        (shard_size * D, F_dev), feature_dtype, mesh,
         P("graph"), loader,
     )
 
@@ -537,7 +554,8 @@ def _train_sharded(flags: TrainFlags, graph) -> dict:
     # (put_global_rows + load_feature_shard — SURVEY §7 stage 7).
     layout = flags.shard_layout
     feat_sh = _place_sharded_features(graph, D, mesh, flags.feature_dtype,
-                                      layout)
+                                      layout,
+                                      lane_pad=flags.fused_gather and D == 1)
     train_adj_sh = put_global(shard_rows(train_adj_np, D, layout)[0],
                               mesh, P("graph"))
     full_adj_sh = put_global(shard_rows(full_adj_np, D, layout)[0],

@@ -506,6 +506,67 @@ def test_graph_shards_trainer_end_to_end(tmp_path, toy_graph):
     assert os.path.exists(os.path.join(log_dir, "test_stats.txt"))
 
 
+def test_single_shard_fused_inner_matches_plain(toy_graph):
+    """On a 1-device mesh the sharded step's fused inner-hop fast path
+    (fuse_inner -> fused_gather_mean + last_hop_neigh_mean) reproduces
+    the plain single-device step (lane-padded table, sliced back)."""
+    from graphsage_tpu.data.adjacency import build_both_adjs
+    from graphsage_tpu.models.graphsage import LayerInfo, SAGEConfig
+    from graphsage_tpu.models.supervised import (
+        SupervisedConfig,
+        init_supervised_params,
+        make_optimizer,
+    )
+    from graphsage_tpu.ops.gather import pad_feature_dim
+    from graphsage_tpu.parallel.dp import make_supervised_train_step
+
+    g = toy_graph
+    adj, _, _ = build_both_adjs(g, max_degree=8)
+    feats = g.padded_features()
+    sage = SAGEConfig(
+        layers=(LayerInfo(4, 8), LayerInfo(3, 8)),
+        feature_dim=feats.shape[1],
+        aggregator="mean",
+        sampler_mode="first_k",
+        fused_gather=True,
+        num_nodes=g.num_nodes,
+    )
+    sup = SupervisedConfig(sage=sage, num_classes=g.num_classes)
+    params = init_supervised_params(jax.random.key(0), sup)
+    optimizer = make_optimizer(0.05)
+
+    B = 16
+    ids = np.arange(B, dtype=np.int32)
+    labels = g.labels[ids]
+    mask = np.ones(B, dtype=np.float32)
+    rng = jax.random.key(7)
+
+    single = make_supervised_train_step(sup, optimizer)
+    p1, _, loss1, _ = jax.jit(single)(
+        jax.tree.map(jnp.copy, params), optimizer.init(params), rng,
+        jnp.asarray(pad_feature_dim(feats)), jnp.asarray(adj),
+        jnp.asarray(ids), jnp.asarray(labels), jnp.asarray(mask),
+    )
+
+    mesh1 = Mesh(np.asarray(jax.devices()[:1]), ("graph",))
+    opt2 = optimizer.init(params)
+    step = make_sharded_supervised_step(
+        sup, optimizer, mesh1, capacity_factor=1.0,
+        params_like=params, opt_state_like=opt2,
+    )
+    p2, _, loss2, _, dropped = step(
+        jax.tree.map(jnp.copy, params), opt2, rng,
+        jnp.asarray(pad_feature_dim(feats)), jnp.asarray(adj),
+        jnp.asarray(ids), jnp.asarray(labels), jnp.asarray(mask),
+    )
+    assert int(dropped) == 0
+    np.testing.assert_allclose(float(loss2), float(loss1), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(p2["head"]["w"]), np.asarray(p1["head"]["w"]),
+        rtol=1e-4, atol=1e-6,
+    )
+
+
 def test_graph_shards_block_layout_and_cross_layout_resume(
         tmp_path, toy_graph):
     """--shard_layout block trains end-to-end, and a checkpoint written
