@@ -701,6 +701,56 @@ def test_sharded_unsupervised_step_runs(mesh, toy_graph):
     assert out1.shape == (B, sage.output_dim)
 
 
+def test_single_shard_fused_inner_unsupervised(toy_graph):
+    """fuse_inner in the unsupervised sharded step (three towers batched
+    through one pyramid): D=1 fused matches D=1 unfused."""
+    from graphsage_tpu.data.adjacency import build_both_adjs
+    from graphsage_tpu.models.graphsage import LayerInfo, SAGEConfig
+    from graphsage_tpu.models.supervised import make_optimizer
+    from graphsage_tpu.models.unsupervised import (
+        UnsupervisedConfig,
+        init_unsupervised_params,
+    )
+    from graphsage_tpu.nn.negative import unigram_cdf
+    from graphsage_tpu.ops.gather import pad_feature_dim
+
+    g = toy_graph
+    adj, deg, _ = build_both_adjs(g, max_degree=8)
+    feats = pad_feature_dim(g.padded_features())
+    mesh1 = Mesh(np.asarray(jax.devices()[:1]), ("graph",))
+    B = 16
+    edges = g.edges[:B]
+    mask = np.ones(B, dtype=np.float32)
+    neg_cdf = jnp.asarray(unigram_cdf(deg))
+
+    outs = []
+    for fused in (False, True):
+        sage = SAGEConfig(
+            layers=(LayerInfo(4, 8), LayerInfo(3, 8)),
+            feature_dim=g.padded_features().shape[1],
+            aggregator="mean",
+            sampler_mode="first_k",
+            fused_gather=fused,
+            num_nodes=g.num_nodes,
+        )
+        unsup = UnsupervisedConfig(sage=sage, neg_sample_size=5)
+        params = init_unsupervised_params(jax.random.key(0), unsup)
+        optimizer = make_optimizer(1e-4)
+        step = make_sharded_unsupervised_step(unsup, optimizer, mesh1,
+                                              capacity_factor=1.0)
+        p, _, loss, mrr, out, _ = step(
+            params, optimizer.init(params), jax.random.key(1),
+            jnp.asarray(feats), jnp.asarray(adj),
+            jnp.asarray(edges[:, 0]), jnp.asarray(edges[:, 1]),
+            jnp.asarray(mask), neg_cdf,
+        )
+        outs.append((float(loss), float(mrr), np.asarray(out)))
+    np.testing.assert_allclose(outs[0][0], outs[1][0], rtol=1e-5)
+    np.testing.assert_allclose(outs[0][1], outs[1][1], rtol=1e-5)
+    np.testing.assert_allclose(outs[0][2], outs[1][2],
+                               rtol=1e-4, atol=1e-6)
+
+
 def test_halo_overlap_matches_blocking_bitwise(mesh, toy_graph):
     """The overlap halo schedule (interleaved feature/adjacency
     exchanges + split-local fast path) matches the round-2 blocking
