@@ -100,8 +100,9 @@ def run_at(D: int) -> float:
         feature_dim=FEAT_DIM,
         aggregator="mean",
         num_nodes=NUM_NODES,
-        # engages the fused inner-hop gather on single-shard meshes
-        # (graph_sharded.py fuse_inner); inert at D>1
+        # engages the fused inner-hop gather: the whole mean at D=1,
+        # the split-local weighted-sum fraction at D>1
+        # (graph_sharded.py fuse_inner)
         fused_gather=True,
     )
     sup = SupervisedConfig(sage=sage, num_classes=NUM_CLASSES,
@@ -112,10 +113,10 @@ def run_at(D: int) -> float:
         rng.standard_normal((NUM_NODES, FEAT_DIM)).astype(np.float32),
         np.zeros((1, FEAT_DIM), np.float32),
     ])
-    if D == 1:
-        # lane-align for the fused inner-hop kernel; padding at D>1
-        # would inflate the all-to-all payload 602->640 for nothing
-        feats = pad_feature_dim(feats)
+    # lane-align for the fused inner-hop kernel (whole mean at D=1,
+    # split-local fraction at D>1); costs +6% outer-hop all-to-all
+    # payload (602->640) in exchange for fusing the dominant gather
+    feats = pad_feature_dim(feats)
     adj = np.asarray(zipf_adjacency(rng))
     labels_table = np.zeros((NUM_NODES + 1, NUM_CLASSES), np.float32)
     labels_table[np.arange(NUM_NODES),

@@ -42,48 +42,56 @@ def gather_mean_reference(features, idx):
 TILE_B = 8  # output rows per grid step (Pallas sublane minimum for f32)
 
 
-def _gather_mean_kernel(idx_ref, feat_ref, out_ref, scratch, sems,
-                        *, S, F, tile_b, n_buf):
-    """One grid step computes tile_b output rows (out block [tile_b, F]).
+def _issue_tile(idx_ref, feat_ref, scratch, sems, tile, slot, *, S, tile_b):
+    """Issue the S row DMAs of each of a tile's rows into scratch[slot].
+
+    Hybrid unroll: fori_loop over the tile's rows (keeps Mosaic code
+    size ~S DMA pairs — a full tile_b*S unroll stalls the compiler),
+    with the S per-row DMAs unrolled inline (a full fori_loop serializes
+    issue and halves throughput). One DMA semaphore per ROW (shared by
+    its S same-size copies) keeps the sflag budget small.
+    """
+    def body(r, _):
+        for s in range(S):
+            pltpu.make_async_copy(
+                feat_ref.at[idx_ref[tile * tile_b + r, s]],
+                scratch.at[slot, r * S + s],
+                sems.at[slot, r],
+            ).start()
+        return 0
+
+    jax.lax.fori_loop(0, tile_b, body, 0)
+
+
+def _wait_tile(feat_ref, scratch, sems, slot, *, S, tile_b):
+    """Consume the semaphore signals of one tile's row DMAs."""
+    def body(r, _):
+        for s in range(S):
+            pltpu.make_async_copy(
+                feat_ref.at[0], scratch.at[slot, r * S + s],
+                sems.at[slot, r],
+            ).wait()
+        return 0
+
+    jax.lax.fori_loop(0, tile_b, body, 0)
+
+
+def _pipelined_block(idx_ref, feat_ref, scratch, sems, *, S, F, tile_b,
+                     n_buf):
+    """Shared DMA pipeline of the gather kernels: issue up to n_buf-1
+    future tiles' row DMAs behind the current tile's reduce, wait this
+    tile's slot, and return its [tile_b, S, F] f32 block.
 
     feat_ref is viewed as [N, R, F/R] and scratch as
     [n_buf, tile_b*S, R, F/R] (R = sublane packing of the dtype) so every
     DMA moves a block that exactly spans the last two dims — single-row
-    slices of a [N, F] array violate Mosaic's sublane tiling. n_buf
-    scratch slots pipeline the DMAs of up to n_buf-1 future tiles behind
-    the current reduce. One DMA semaphore per ROW (shared by its S
-    same-size copies) keeps the sflag budget small.
+    slices of a [N, F] array violate Mosaic's sublane tiling.
     """
     t = pl.program_id(0)
     n_tiles = pl.num_programs(0)
-
-    # Hybrid unroll: fori_loop over the tile's rows (keeps Mosaic code
-    # size ~S DMA pairs — a full tile_b*S unroll stalls the compiler),
-    # with the S per-row DMAs unrolled inline (a full fori_loop serializes
-    # issue and halves throughput).
-    def issue(tile, slot):
-        def body(r, _):
-            for s in range(S):
-                pltpu.make_async_copy(
-                    feat_ref.at[idx_ref[tile * tile_b + r, s]],
-                    scratch.at[slot, r * S + s],
-                    sems.at[slot, r],
-                ).start()
-            return 0
-
-        jax.lax.fori_loop(0, tile_b, body, 0)
-
-    def wait(slot):
-        def body(r, _):
-            for s in range(S):
-                pltpu.make_async_copy(
-                    feat_ref.at[0], scratch.at[slot, r * S + s],
-                    sems.at[slot, r],
-                ).wait()
-            return 0
-
-        jax.lax.fori_loop(0, tile_b, body, 0)
-
+    issue = functools.partial(
+        _issue_tile, idx_ref, feat_ref, scratch, sems, S=S, tile_b=tile_b
+    )
     slot = jax.lax.rem(t, n_buf)
 
     @pl.when(t == 0)
@@ -97,9 +105,30 @@ def _gather_mean_kernel(idx_ref, feat_ref, out_ref, scratch, sems,
     def _():
         issue(t + n_buf - 1, jax.lax.rem(t + n_buf - 1, n_buf))
 
-    wait(slot)
-    block = scratch[slot].astype(jnp.float32).reshape(tile_b, S, F)
+    _wait_tile(feat_ref, scratch, sems, slot, S=S, tile_b=tile_b)
+    return scratch[slot].astype(jnp.float32).reshape(tile_b, S, F)
+
+
+def _gather_mean_kernel(idx_ref, feat_ref, out_ref, scratch, sems,
+                        *, S, F, tile_b, n_buf):
+    """One grid step computes tile_b output MEAN rows [tile_b, F]."""
+    block = _pipelined_block(idx_ref, feat_ref, scratch, sems,
+                             S=S, F=F, tile_b=tile_b, n_buf=n_buf)
     out_ref[:, :] = jnp.sum(block, axis=1) * (1.0 / S)
+
+
+def _gather_mean_weighted_kernel(idx_ref, feat_ref, w_ref, out_ref,
+                                 scratch, sems, *, S, F, tile_b, n_buf):
+    """Weighted-SUM variant: out[b] = sum_s w[b, s] * feat[idx[b, s]].
+
+    Same static issue schedule as the plain kernel — per KERNEL_NOTES
+    fact 2 any per-sample conditional costs ~2x a DMA issue, so callers
+    that want a PARTIAL mean (e.g. the local fraction of a row-sharded
+    gather) redirect the excluded samples to row 0 with weight 0 and eat
+    the wasted issues; the weight multiply is free VPU work."""
+    block = _pipelined_block(idx_ref, feat_ref, scratch, sems,
+                             S=S, F=F, tile_b=tile_b, n_buf=n_buf)
+    out_ref[:, :] = jnp.sum(block * w_ref[:, :][:, :, None], axis=1)
 
 
 def _gather_mean_dedup_kernel(idx_ref, nuniq_ref, feat_ref, w_ref, out_ref,
@@ -234,7 +263,7 @@ def pad_feature_dim(features, dtype=None):
 )
 def fused_gather_mean(features, idx, interpret: bool = False,
                       tile_b: int = TILE_B, n_buf: int = 2,
-                      dedup: bool = False):
+                      dedup: bool = False, weights=None):
     """[B, F] = mean_s features[idx[b, s]] without materializing [B*S, F].
 
     features: [N, F] float32/bfloat16 (HBM-resident), idx: [B, S] int32.
@@ -242,8 +271,18 @@ def fused_gather_mean(features, idx, interpret: bool = False,
     On TPU, F must be a multiple of 128 (see pad_feature_dim); otherwise
     the XLA reference path is used. ``n_buf`` scratch buffers pipeline
     the row DMAs of n_buf-1 tiles ahead.
+
+    ``weights`` ([B, S] float32) switches to a weighted SUM:
+    ``out[b] = sum_s weights[b, s] * features[idx[b, s]]`` — the caller
+    folds any 1/S. Used for partial means over a masked sample subset
+    (the split-local fused inner hop, parallel/graph_sharded.py):
+    excluded samples carry weight 0 and should have their idx redirected
+    to any in-bounds row. Mutually exclusive with ``dedup``.
     """
     B, S = idx.shape
+    if weights is not None and dedup:
+        raise ValueError("fused_gather_mean: weights and dedup are "
+                         "mutually exclusive")
     N, F = features.shape
     R = _row_sublanes(features.dtype)
     on_tpu = jax.default_backend() not in ("cpu", "gpu")
@@ -258,7 +297,10 @@ def fused_gather_mean(features, idx, interpret: bool = False,
             and jnp.dtype(features.dtype).itemsize == 4)
     )
     if not use_kernel:
-        return gather_mean_reference(features, idx)
+        rows = jnp.take(features, idx, axis=0).astype(jnp.float32)
+        if weights is not None:
+            return jnp.sum(rows * weights[:, :, None], axis=1)
+        return rows.mean(axis=1)
 
     # Scalar-prefetched idx lives in SMEM lane-padded to [B, 128]; chunk
     # the call so each kernel stays well under the 1MB SMEM budget.
@@ -267,7 +309,9 @@ def fused_gather_mean(features, idx, interpret: bool = False,
         outs = [
             fused_gather_mean(features, idx[i:i + CHUNK],
                               interpret=interpret, tile_b=tile_b,
-                              n_buf=n_buf, dedup=dedup)
+                              n_buf=n_buf, dedup=dedup,
+                              weights=None if weights is None
+                              else weights[i:i + CHUNK])
             for i in range(0, B, CHUNK)
         ]
         return jnp.concatenate(outs, axis=0)
@@ -277,6 +321,10 @@ def fused_gather_mean(features, idx, interpret: bool = False,
         idx = jnp.concatenate(
             [idx, jnp.zeros((pad, S), dtype=idx.dtype)], axis=0
         )
+        if weights is not None:
+            weights = jnp.concatenate(
+                [weights, jnp.zeros((pad, S), jnp.float32)], axis=0
+            )
     Bp = B + pad
     n_tiles = Bp // tile_b
 
@@ -325,6 +373,27 @@ def fused_gather_mean(features, idx, interpret: bool = False,
         out = pl.pallas_call(
             kernel, grid_spec=grid_spec, out_shape=out_shape, **params
         )(idx_unique, n_unique, feats_view, w)
+    elif weights is not None:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(
+                    (tile_b, S), lambda t, i_ref: (t, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=out_spec,
+            scratch_shapes=scratch_shapes,
+        )
+        kernel = functools.partial(
+            _gather_mean_weighted_kernel, S=S, F=F, tile_b=tile_b,
+            n_buf=n_buf
+        )
+        out = pl.pallas_call(
+            kernel, grid_spec=grid_spec, out_shape=out_shape, **params
+        )(idx, feats_view, weights.astype(jnp.float32))
     else:
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,

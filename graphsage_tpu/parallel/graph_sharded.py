@@ -129,7 +129,8 @@ def embeds_to_device_layout(tree, n_shards: int, layout: str):
 def exchange_gather(local, idx, axis_name: str, capacity: int,
                     return_dropped: bool = False,
                     split_local: bool = True,
-                    layout: str = "strided"):
+                    layout: str = "strided",
+                    remote_only: bool = False):
     """Gather global rows from a row-sharded table via all-to-all.
 
     Args:
@@ -155,6 +156,11 @@ def exchange_gather(local, idx, axis_name: str, capacity: int,
         piece of the SURVEY §5.8 compute/comm-overlap design. Pass
         False to reproduce the round-2 blocking formulation for A/B
         probes.
+      remote_only: do NOT gather this device's own rows at all — local
+        requests return ZERO rows (they still skip the capacity budget,
+        as with split_local). For callers that serve the local fraction
+        themselves and add the two partial results (the split-local
+        fused inner hop, sharded_sage_embed).
 
     Returns [m, ...] rows (and the dropped count if requested).
     """
@@ -162,6 +168,7 @@ def exchange_gather(local, idx, axis_name: str, capacity: int,
     shard_size = local.shape[0]
     m = idx.shape[0]
     bshape = (m,) + (1,) * (local.ndim - 1)
+    split_local = split_local or remote_only
 
     if layout == "strided":
         owner = (idx % D).astype(jnp.int32)
@@ -171,7 +178,10 @@ def exchange_gather(local, idx, axis_name: str, capacity: int,
         local_of = lambda i: (i % shard_size).astype(jnp.int32)  # noqa: E731
 
     if split_local and D == 1:
-        rows = jnp.take(local, local_of(idx), axis=0)
+        if remote_only:
+            rows = jnp.zeros((m,) + local.shape[1:], local.dtype)
+        else:
+            rows = jnp.take(local, local_of(idx), axis=0)
         if return_dropped:
             return rows, jnp.zeros((), jnp.int32)
         return rows
@@ -179,10 +189,11 @@ def exchange_gather(local, idx, axis_name: str, capacity: int,
     if split_local:
         me = jax.lax.axis_index(axis_name)
         is_local = owner == me
-        local_rows = jnp.take(
-            local, jnp.where(is_local, local_of(idx), 0), axis=0
-        )
-        local_rows = jnp.where(is_local.reshape(bshape), local_rows, 0)
+        if not remote_only:
+            local_rows = jnp.take(
+                local, jnp.where(is_local, local_of(idx), 0), axis=0
+            )
+            local_rows = jnp.where(is_local.reshape(bshape), local_rows, 0)
         # Route local requests to sentinel segment D: they vanish from
         # the capacity accounting and from the send buffer (OOB scatter
         # rows drop), leaving the budget entirely to remote requests.
@@ -220,7 +231,7 @@ def exchange_gather(local, idx, axis_name: str, capacity: int,
     gathered = jnp.where(valid.reshape(bshape), gathered, 0)
     inv = jnp.argsort(order)
     out = gathered[inv]
-    if split_local:
+    if split_local and not remote_only:
         out = jnp.where(is_local.reshape(bshape), local_rows, out)
     dropped = jnp.sum((~valid & remote).astype(jnp.int32))
     if return_dropped:
@@ -350,16 +361,23 @@ def sharded_sage_embed(
     n_layers = len(fanouts)
     split_local = halo == "overlap"
     layout = config.shard_layout
-    # Single-shard fast path for the innermost hop: with one shard every
-    # row is local, so the Pallas fused gather+mean (ops/gather.py) can
-    # serve the dominant [B*prod(fanouts), F] gather exactly as the
-    # unsharded sage_embed does (same eligibility: mean-only use of the
-    # rows, no trainable identity rows in them, no pre-mean dropout).
-    # Measured: the sharded runner at D=1 was 77% of the plain path with
-    # the XLA take here (benchmarks/KERNEL_NOTES.md scaling baseline).
+    # Fused fast path for the innermost hop: the Pallas fused gather+mean
+    # (ops/gather.py) serves the dominant [B*prod(fanouts), F] gather
+    # without materializing it (same eligibility as sage_embed: mean-only
+    # use of the rows, no trainable identity rows in them, no pre-mean
+    # dropout). At D=1 every row is local and the kernel serves the whole
+    # mean (measured: took the sharded runner from 77% of the plain path
+    # to 44.6M edges/s — benchmarks/KERNEL_NOTES.md). At D>1 the mean is
+    # SPLIT: the local fraction runs through the kernel's weighted-sum
+    # mode (remote samples redirected to row 0 with weight 0 — wasted
+    # static DMA issues beat any per-sample branch, KERNEL_NOTES fact 2)
+    # while only the remote fraction rides the all-to-all
+    # (exchange_gather remote_only) and is mean-reduced XLA-side; the two
+    # partial sums add. This skips the [m, F] HBM materialization of the
+    # exchange output for 1/D of the rows and lets the kernel's DMA
+    # pipeline overlap the in-flight collective.
     fuse_inner = (
-        D == 1
-        and config.fused_gather
+        config.fused_gather
         and config.aggregator == "mean"
         and config.identity_dim == 0
         and feat_local is not None
@@ -432,10 +450,41 @@ def sharded_sage_embed(
     if fuse_inner:
         from graphsage_tpu.ops.gather import fused_gather_mean
 
-        idx2 = samples[-1].reshape(-1, fanouts[0])
-        last_mean = fused_gather_mean(
-            feat_local, idx2, dedup=config.dedup_gather
-        )
+        S0 = fanouts[0]
+        idx2 = samples[-1].reshape(-1, S0)
+        if D == 1:
+            last_mean = fused_gather_mean(
+                feat_local, idx2, dedup=config.dedup_gather
+            )
+        else:
+            # Split mean: kernel-sum the local fraction, all-to-all only
+            # the remote fraction, add. (Not bit-identical to the
+            # unsplit mean — two partial f32 sums — hence allclose, not
+            # bitwise, parity tests for this path.)
+            if layout == "strided":
+                owner = (idx2 % D).astype(jnp.int32)
+                local_idx = (idx2 // D).astype(jnp.int32)
+            else:
+                ss = feat_local.shape[0]
+                owner = (idx2 // ss).astype(jnp.int32)
+                local_idx = (idx2 % ss).astype(jnp.int32)
+            is_local = owner == jax.lax.axis_index(axis_name)
+            local_sum = fused_gather_mean(
+                feat_local,
+                jnp.where(is_local, local_idx, 0),
+                weights=is_local.astype(jnp.float32) / S0,
+            )
+            flat = samples[-1]
+            remote_rows, d = exchange_gather(
+                feat_local, flat, axis_name,
+                _capacity(flat.shape[0], D, capacity_factor),
+                return_dropped=True, layout=layout, remote_only=True,
+            )
+            dropped += d
+            remote_sum = remote_rows.reshape(
+                idx2.shape[0], S0, -1
+            ).astype(jnp.float32).sum(axis=1) * (1.0 / S0)
+            last_mean = local_sum + remote_sum
         if last_mean.shape[1] != config.feature_dim:
             last_mean = last_mean[:, : config.feature_dim]
     out = aggregate_pyramid(

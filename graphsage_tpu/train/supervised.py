@@ -458,8 +458,12 @@ def _place_sharded_features(graph, D: int, mesh, feature_dtype: str,
 
     ``lane_pad`` zero-pads the feature dim to the Pallas lane multiple
     (ops/gather.py::pad_feature_dim) so the fused gather+mean kernel can
-    serve the innermost hop on single-shard meshes; the sharded forward
-    slices back to ``feature_dim`` (graph_sharded.py::gather_level).
+    serve the innermost hop — the whole mean on single-shard meshes, the
+    local fraction of the split mean at D>1 (graph_sharded.py
+    fuse_inner); the sharded forward slices back to ``feature_dim``.
+    The padding does inflate outer-hop all-to-all payloads by F_pad/F
+    (602->640 at the Reddit shape, +6%) — a good trade against fusing
+    the dominant inner gather.
     """
     from jax.sharding import PartitionSpec as P
 
@@ -555,7 +559,7 @@ def _train_sharded(flags: TrainFlags, graph) -> dict:
     layout = flags.shard_layout
     feat_sh = _place_sharded_features(graph, D, mesh, flags.feature_dtype,
                                       layout,
-                                      lane_pad=flags.fused_gather and D == 1)
+                                      lane_pad=flags.fused_gather)
     train_adj_sh = put_global(shard_rows(train_adj_np, D, layout)[0],
                               mesh, P("graph"))
     full_adj_sh = put_global(shard_rows(full_adj_np, D, layout)[0],

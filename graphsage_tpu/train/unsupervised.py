@@ -595,7 +595,7 @@ def _train_sharded(flags: TrainFlags, graph, deg, batcher: EdgeBatcher,
     layout = flags.shard_layout
     feat_sh = _place_sharded_features(graph, D, mesh, flags.feature_dtype,
                                       layout,
-                                      lane_pad=flags.fused_gather and D == 1)
+                                      lane_pad=flags.fused_gather)
     train_adj_sh = put_global(shard_rows(train_adj_np, D, layout)[0],
                               mesh, P("graph"))
     full_adj_sh = put_global(shard_rows(full_adj_np, D, layout)[0],

@@ -847,3 +847,100 @@ def test_graph_shards_deferred_features_parity(tmp_path, toy_graph):
                                rtol=1e-6)
     np.testing.assert_allclose(r_lazy["test_f1_mic"], r_eager["test_f1_mic"],
                                rtol=1e-6)
+
+
+def test_multi_shard_split_fused_inner_matches_plain(mesh, toy_graph):
+    """D=8 + fused_gather: the split inner-hop mean (local fraction via
+    the weighted gather kernel, remote fraction via a remote_only
+    exchange, partial sums added) reproduces the plain single-device
+    step — allclose, not bitwise: the split reorders the f32 sample
+    sum (graph_sharded.py fuse_inner)."""
+    from graphsage_tpu.data.adjacency import build_both_adjs
+    from graphsage_tpu.models.graphsage import LayerInfo, SAGEConfig
+    from graphsage_tpu.models.supervised import (
+        SupervisedConfig,
+        init_supervised_params,
+        make_optimizer,
+    )
+    from graphsage_tpu.ops.gather import pad_feature_dim
+    from graphsage_tpu.parallel.dp import make_supervised_train_step
+
+    g = toy_graph
+    adj, _, _ = build_both_adjs(g, max_degree=8)
+    feats = pad_feature_dim(g.padded_features())
+    sage = SAGEConfig(
+        layers=(LayerInfo(4, 8), LayerInfo(3, 8)),
+        feature_dim=g.padded_features().shape[1],
+        aggregator="mean",
+        sampler_mode="first_k",
+        fused_gather=True,
+        num_nodes=g.num_nodes,
+    )
+    sup = SupervisedConfig(sage=sage, num_classes=g.num_classes)
+    params = init_supervised_params(jax.random.key(0), sup)
+    optimizer = make_optimizer(0.05)
+
+    B = 16
+    ids = np.arange(B, dtype=np.int32)
+    labels = g.labels[ids]
+    mask = np.ones(B, dtype=np.float32)
+    rng = jax.random.key(7)
+
+    single = make_supervised_train_step(sup, optimizer)
+    p1, _, loss1, _ = jax.jit(single)(
+        jax.tree.map(jnp.copy, params), optimizer.init(params), rng,
+        jnp.asarray(feats), jnp.asarray(adj),
+        jnp.asarray(ids), jnp.asarray(labels), jnp.asarray(mask),
+    )
+
+    feat_sh, _ = shard_rows(feats, D)
+    adj_sh, _ = shard_rows(adj, D)
+    opt2 = optimizer.init(params)
+    step = make_sharded_supervised_step(
+        sup, optimizer, mesh, capacity_factor=8.0,
+        params_like=params, opt_state_like=opt2,
+    )
+    p2, _, loss2, _, dropped = step(
+        jax.tree.map(jnp.copy, params), opt2, rng,
+        jnp.asarray(feat_sh), jnp.asarray(adj_sh),
+        jnp.asarray(ids), jnp.asarray(labels), jnp.asarray(mask),
+    )
+    assert int(dropped) == 0
+    np.testing.assert_allclose(float(loss2), float(loss1), rtol=1e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6
+        ),
+        p2, p1,
+    )
+
+
+def test_exchange_gather_remote_only_zeroes_local(mesh, np_rng):
+    """remote_only returns remote-owned rows and ZERO rows for local
+    positions; plus-split with a direct local take reproduces the full
+    gather."""
+    table = np_rng.standard_normal((40, 4)).astype(np.float32)
+    idx = np_rng.integers(0, 40, (17,)).astype(np.int32)
+    local_t, _ = shard_rows(np.asarray(table), D)
+
+    def f(local, i):
+        rem = exchange_gather(local, i, "graph", capacity=17,
+                              remote_only=True)
+        me = jax.lax.axis_index("graph")
+        is_local = (i % D) == me
+        loc = jnp.where(
+            is_local[:, None],
+            jnp.take(local, jnp.where(is_local, i // D, 0), axis=0),
+            0.0,
+        )
+        # rem is zero exactly at this shard's own rows, so adding a
+        # direct local take must reconstruct the full gather on EVERY
+        # shard (any nonzero leak at local positions would break this)
+        return rem + loc
+
+    g = shard_map(
+        f, mesh=mesh, in_specs=(P("graph"), P()),
+        out_specs=P(None), check_rep=False,
+    )
+    full = g(jnp.asarray(local_t), jnp.asarray(idx))
+    np.testing.assert_allclose(np.asarray(full), table[idx], rtol=1e-6)
