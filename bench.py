@@ -245,7 +245,12 @@ def main():
     cparams = init_supervised_params(jax.random.key(0), sup)
     optimizer = make_optimizer(1e-2)
     copt = optimizer.init(cparams)
-    runner = make_supervised_chunk_runner(sup, optimizer, BATCH)
+    # jit exactly as the trainer does (train/supervised.py) — the raw
+    # runner would eagerly re-dispatch every chunk
+    runner = jax.jit(
+        make_supervised_chunk_runner(sup, optimizer, BATCH),
+        donate_argnums=(0, 1),
+    )
     labels_table = np.zeros((NUM_NODES + 1, NUM_CLASSES), np.float32)
     labels_table[np.arange(NUM_NODES),
                  rng_np.integers(0, NUM_CLASSES, NUM_NODES)] = 1.0
