@@ -117,18 +117,15 @@ def _gather_mean_kernel(idx_ref, feat_ref, out_ref, scratch, sems,
     out_ref[:, :] = jnp.sum(block, axis=1) * (1.0 / S)
 
 
-def _gather_mean_weighted_kernel(idx_ref, feat_ref, w_ref, out_ref,
-                                 scratch, sems, *, S, F, tile_b, n_buf):
-    """Weighted-SUM variant: out[b] = sum_s w[b, s] * feat[idx[b, s]].
-
-    Same static issue schedule as the plain kernel — per KERNEL_NOTES
-    fact 2 any per-sample conditional costs ~2x a DMA issue, so callers
-    that want a PARTIAL mean (e.g. the local fraction of a row-sharded
-    gather) redirect the excluded samples to row 0 with weight 0 and eat
-    the wasted issues; the weight multiply is free VPU work."""
-    block = _pipelined_block(idx_ref, feat_ref, scratch, sems,
-                             S=S, F=F, tile_b=tile_b, n_buf=n_buf)
-    out_ref[:, :] = jnp.sum(block * w_ref[:, :][:, :, None], axis=1)
+# NOTE: two PARTIAL-mean kernel designs (a masked sample subset of the
+# row mean, for the local fraction of the split-sharded inner hop) were
+# built and hardware-falsified in round 3 — an in-kernel weight multiply
+# (~45% throughput loss) and plain-kernel-redirect + XLA rank-1
+# correction (wasted issues are NOT free: same-row reads contend, and
+# the compressed local-id distribution erases the kernel's edge; loses
+# to a plain XLA take+mask+mean 1.58 vs 1.33 ms at the D=8 zipf mix).
+# parallel/graph_sharded.py therefore computes that fraction XLA-side;
+# see benchmarks/KERNEL_NOTES.md "Round-3 locality facts".
 
 
 def _gather_mean_dedup_kernel(idx_ref, nuniq_ref, feat_ref, w_ref, out_ref,
@@ -263,7 +260,7 @@ def pad_feature_dim(features, dtype=None):
 )
 def fused_gather_mean(features, idx, interpret: bool = False,
                       tile_b: int = TILE_B, n_buf: int = 2,
-                      dedup: bool = False, weights=None):
+                      dedup: bool = False):
     """[B, F] = mean_s features[idx[b, s]] without materializing [B*S, F].
 
     features: [N, F] float32/bfloat16 (HBM-resident), idx: [B, S] int32.
@@ -271,18 +268,8 @@ def fused_gather_mean(features, idx, interpret: bool = False,
     On TPU, F must be a multiple of 128 (see pad_feature_dim); otherwise
     the XLA reference path is used. ``n_buf`` scratch buffers pipeline
     the row DMAs of n_buf-1 tiles ahead.
-
-    ``weights`` ([B, S] float32) switches to a weighted SUM:
-    ``out[b] = sum_s weights[b, s] * features[idx[b, s]]`` — the caller
-    folds any 1/S. Used for partial means over a masked sample subset
-    (the split-local fused inner hop, parallel/graph_sharded.py):
-    excluded samples carry weight 0 and should have their idx redirected
-    to any in-bounds row. Mutually exclusive with ``dedup``.
     """
     B, S = idx.shape
-    if weights is not None and dedup:
-        raise ValueError("fused_gather_mean: weights and dedup are "
-                         "mutually exclusive")
     N, F = features.shape
     R = _row_sublanes(features.dtype)
     on_tpu = jax.default_backend() not in ("cpu", "gpu")
@@ -297,10 +284,7 @@ def fused_gather_mean(features, idx, interpret: bool = False,
             and jnp.dtype(features.dtype).itemsize == 4)
     )
     if not use_kernel:
-        rows = jnp.take(features, idx, axis=0).astype(jnp.float32)
-        if weights is not None:
-            return jnp.sum(rows * weights[:, :, None], axis=1)
-        return rows.mean(axis=1)
+        return gather_mean_reference(features, idx)
 
     # Scalar-prefetched idx lives in SMEM lane-padded to [B, 128]; chunk
     # the call so each kernel stays well under the 1MB SMEM budget.
@@ -309,9 +293,7 @@ def fused_gather_mean(features, idx, interpret: bool = False,
         outs = [
             fused_gather_mean(features, idx[i:i + CHUNK],
                               interpret=interpret, tile_b=tile_b,
-                              n_buf=n_buf, dedup=dedup,
-                              weights=None if weights is None
-                              else weights[i:i + CHUNK])
+                              n_buf=n_buf, dedup=dedup)
             for i in range(0, B, CHUNK)
         ]
         return jnp.concatenate(outs, axis=0)
@@ -321,10 +303,6 @@ def fused_gather_mean(features, idx, interpret: bool = False,
         idx = jnp.concatenate(
             [idx, jnp.zeros((pad, S), dtype=idx.dtype)], axis=0
         )
-        if weights is not None:
-            weights = jnp.concatenate(
-                [weights, jnp.zeros((pad, S), jnp.float32)], axis=0
-            )
     Bp = B + pad
     n_tiles = Bp // tile_b
 
@@ -373,27 +351,6 @@ def fused_gather_mean(features, idx, interpret: bool = False,
         out = pl.pallas_call(
             kernel, grid_spec=grid_spec, out_shape=out_shape, **params
         )(idx_unique, n_unique, feats_view, w)
-    elif weights is not None:
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(n_tiles,),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(
-                    (tile_b, S), lambda t, i_ref: (t, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-            ],
-            out_specs=out_spec,
-            scratch_shapes=scratch_shapes,
-        )
-        kernel = functools.partial(
-            _gather_mean_weighted_kernel, S=S, F=F, tile_b=tile_b,
-            n_buf=n_buf
-        )
-        out = pl.pallas_call(
-            kernel, grid_spec=grid_spec, out_shape=out_shape, **params
-        )(idx, feats_view, weights.astype(jnp.float32))
     else:
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,

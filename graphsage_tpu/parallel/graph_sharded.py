@@ -368,14 +368,13 @@ def sharded_sage_embed(
     # dropout). At D=1 every row is local and the kernel serves the whole
     # mean (measured: took the sharded runner from 77% of the plain path
     # to 44.6M edges/s — benchmarks/KERNEL_NOTES.md). At D>1 the mean is
-    # SPLIT: the local fraction runs through the kernel's weighted-sum
-    # mode (remote samples redirected to row 0 with weight 0 — wasted
-    # static DMA issues beat any per-sample branch, KERNEL_NOTES fact 2)
-    # while only the remote fraction rides the all-to-all
-    # (exchange_gather remote_only) and is mean-reduced XLA-side; the two
-    # partial sums add. This skips the [m, F] HBM materialization of the
-    # exchange output for 1/D of the rows and lets the kernel's DMA
-    # pipeline overlap the in-flight collective.
+    # SPLIT: the local fraction is mean-reduced straight off the local
+    # shard (XLA take+mask+mean — measured faster than any kernel
+    # formulation here, KERNEL_NOTES round-3 locality facts) while only
+    # the remote fraction rides the all-to-all (exchange_gather
+    # remote_only); the two partial sums add. Local rows never enter
+    # the collective payload, and the local compute has no data
+    # dependency on it, so the two overlap.
     fuse_inner = (
         config.fused_gather
         and config.aggregator == "mean"
@@ -457,9 +456,13 @@ def sharded_sage_embed(
                 feat_local, idx2, dedup=config.dedup_gather
             )
         else:
-            # Split mean: kernel-sum the local fraction, all-to-all only
-            # the remote fraction, add. (Not bit-identical to the
-            # unsplit mean — two partial f32 sums — hence allclose, not
+            # Split mean: local fraction via an XLA take+mask+mean
+            # (measured FASTER than the Pallas kernel here — redirected
+            # wasted DMA issues are not free and the compressed local-id
+            # distribution erases the kernel's edge; KERNEL_NOTES
+            # round-3 locality facts), remote fraction via the
+            # all-to-all, partial sums added. (Not bit-identical to the
+            # unsplit mean — reordered f32 sums — hence allclose, not
             # bitwise, parity tests for this path.)
             if layout == "strided":
                 owner = (idx2 % D).astype(jnp.int32)
@@ -469,11 +472,13 @@ def sharded_sage_embed(
                 owner = (idx2 // ss).astype(jnp.int32)
                 local_idx = (idx2 % ss).astype(jnp.int32)
             is_local = owner == jax.lax.axis_index(axis_name)
-            local_sum = fused_gather_mean(
-                feat_local,
-                jnp.where(is_local, local_idx, 0),
-                weights=is_local.astype(jnp.float32) / S0,
-            )
+            local_rows = jnp.take(
+                feat_local, jnp.where(is_local, local_idx, 0), axis=0
+            ).astype(jnp.float32)
+            local_sum = jnp.sum(
+                local_rows * is_local[:, :, None].astype(jnp.float32),
+                axis=1,
+            ) * (1.0 / S0)
             flat = samples[-1]
             remote_rows, d = exchange_gather(
                 feat_local, flat, axis_name,

@@ -125,31 +125,3 @@ def test_fused_gather_mean_dedup_matches_reference(np_rng, B, S, F):
     out = fused_gather_mean(feats, idx, interpret=True, dedup=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5,
                                atol=1e-6)
-
-
-@pytest.mark.parametrize("B,S,F", [(8, 5, 16), (13, 25, 32)])
-def test_fused_gather_mean_weighted_matches_reference(np_rng, B, S, F):
-    """weights mode = weighted SUM over samples (caller folds 1/S)."""
-    feats = jnp.asarray(np_rng.standard_normal((40, F)).astype(np.float32))
-    idx = jnp.asarray(np_rng.integers(0, 40, (B, S), dtype=np.int32))
-    w = jnp.asarray(np_rng.uniform(0, 1, (B, S)).astype(np.float32))
-    ref = jnp.einsum("bsf,bs->bf", jnp.take(feats, idx, axis=0), w)
-    out = fused_gather_mean(feats, idx, interpret=True, weights=w)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5,
-                               atol=1e-6)
-
-
-def test_fused_gather_mean_weighted_zero_masks_redirected(np_rng):
-    """The split-local pattern: masked-out samples redirected to row 0
-    with weight 0 contribute exactly nothing (partial-mean semantics)."""
-    F = 16
-    feats = jnp.asarray(np_rng.standard_normal((12, F)).astype(np.float32))
-    idx = jnp.asarray(np_rng.integers(0, 12, (9, 5), dtype=np.int32))
-    keep = jnp.asarray(np_rng.integers(0, 2, (9, 5)).astype(np.float32))
-    out = fused_gather_mean(
-        feats, jnp.where(keep > 0, idx, 0), interpret=True,
-        weights=keep / 5.0,
-    )
-    ref = (jnp.take(feats, idx, axis=0) * keep[:, :, None]).sum(1) / 5.0
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5,
-                               atol=1e-6)
