@@ -245,19 +245,26 @@ def main():
         flush_rows()
 
         # n2v (DeepWalk) + logistic probe — transductive embedding
-        # baseline over the same walks (reference n2v_big path)
+        # baseline over the same walks (reference n2v path)
         t0 = time.time()
-        # transductive: every node's embedding row needs enough visits —
-        # scale steps with node count (proxy-reddit at 3k steps sits at
-        # dummy level; 20k steps ~3 min on the chip)
-        n2v_steps = 3000 if name == "proxy-ppi" else 20000
+        # SGD-skipgram scaling (root-caused on hardware): the loss is
+        # summed xent / batch_size into plain SGD (models.py:442,
+        # 478-487), so per-visit row movement is ~lr*||ctx||/batch and a
+        # node needs ~10 units of total movement to leave its
+        # uniform(-1,1) init. That demands lr O(1) — the TF word2vec
+        # tutorial's own SGD scale — and enough epochs for ~1-2k visits
+        # per node. Test nodes train ONLY in the fixed_n2v retrain
+        # (train-subgraph walks never visit them), so n2v_test_epochs
+        # must be ~10 (one retrain epoch = ~150 visits/test node). At
+        # the old lr 0.01 / 1 retrain epoch the target table provably
+        # stayed at init (probe == dummy; movement 8e-4).
         n2v_flags = sup_flags(
             prefix, name, model="n2v",
-            learning_rate=0.01,
-            epochs=1 if name == "proxy-ppi" else 5,
-            max_total_steps=60 if args.quick else n2v_steps,
+            learning_rate=2.0, dim_1=25,  # nodevec_dim 50 (models.py:409)
+            epochs=40,
+            max_total_steps=100 if args.quick else 300_000,
             random_context=True, save_embeddings=True,
-            n2v_test_epochs=1,
+            n2v_test_epochs=2 if args.quick else 10,
         )
         print(f"[n2v] {name} ...", flush=True)
         n2v_res = train_unsup(n2v_flags)

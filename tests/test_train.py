@@ -334,3 +334,68 @@ def test_log_histograms_flag(tmp_path, graph):
         str(tmp_path) + "/sup-*/*/events.out.tfevents*"
     )
     assert events, "tensorboard event file not written"
+
+
+def test_n2v_learns_class_separable_embeddings(tmp_path):
+    """DeepWalk over an assortative community graph must yield
+    class-separable TARGET embeddings for train AND (via the fixed_n2v
+    retrain, which is test nodes' ONLY training — train-subgraph walks
+    never visit them) for val/test nodes.
+
+    SGD-skipgram scaling regression (root-caused on hardware): the loss
+    is summed xent / batch_size into plain SGD (reference
+    models.py:442, 478-487), so a node's row moves ~lr*||ctx||/batch
+    per visit and needs lr O(1) + ~1-2k visits to leave its
+    uniform(-1, 1) init; at lr 0.01 / 1 retrain epoch the table
+    provably stays at init and the probe equals the dummy baseline
+    (benchmarks/accuracy_acceptance.py n2v config comment).
+    """
+    import jax
+
+    from graphsage_tpu.data.walks import run_random_walks, write_walks
+    from graphsage_tpu.train.unsupervised import train
+
+    g = make_synthetic_graph(num_nodes=200, num_classes=3, feat_dim=8,
+                             intra_p=0.12, inter_p=0.006, seed=5)
+    lab = g.labels.argmax(1) if g.labels.ndim == 2 else g.labels
+    prefix = str(tmp_path / "com")
+    from graphsage_tpu.data.synthetic import write_dataset
+
+    write_dataset(g, prefix)
+    is_train = g.is_train
+    sub = [nb[is_train[nb]] if is_train[i] else nb[:0]
+           for i, nb in enumerate(g.neighbors)]
+    pairs = run_random_walks(sub, np.flatnonzero(is_train), num_walks=25,
+                             walk_len=5, rng=np.random.default_rng(7))
+    write_walks(prefix + "-walks.txt", pairs, g.node_ids)
+
+    flags = tiny_flags(
+        tmp_path, model="n2v", epochs=30, max_total_steps=4000,
+        batch_size=128, dim_1=8, learning_rate=2.0,
+        random_context=True, save_embeddings=True, n2v_test_epochs=10,
+        train_prefix=prefix,
+    )
+    result = train(flags)
+
+    def centroid_acc(E, ids, mask):
+        id2row = {nid: i for i, nid in enumerate(ids)}
+        rows = np.asarray([id2row[n] for n in np.asarray(g.node_ids)])
+        X = E[rows]
+        Xn = X / (np.linalg.norm(X, axis=1, keepdims=True) + 1e-9)
+        cents = np.stack([
+            Xn[is_train & (lab == c)].mean(0) for c in range(3)
+        ])
+        cents /= np.linalg.norm(cents, axis=1, keepdims=True) + 1e-9
+        return ((Xn[mask] @ cents.T).argmax(1) == lab[mask]).mean()
+
+    d = result["log_dir"]
+    conv = type(np.asarray(g.node_ids).tolist()[0])
+    Ev = np.load(os.path.join(d, "val.npy"))
+    ids_v = [conv(l.strip()) for l in open(os.path.join(d, "val.txt"))]
+    Et = np.load(os.path.join(d, "val-test.npy"))
+    ids_t = [conv(l.strip()) for l in open(os.path.join(d, "val-test.txt"))]
+
+    train_acc = centroid_acc(Ev, ids_v, is_train)
+    eval_acc = centroid_acc(Et, ids_t, g.is_val | g.is_test)
+    assert train_acc > 0.7, f"train embeddings not separable: {train_acc}"
+    assert eval_acc > 0.55, f"retrained eval embeddings at chance: {eval_acc}"
