@@ -103,6 +103,18 @@ HEADER = [
 
 FOOTER = [
     "",
+    "## Why transductive n2v outscores the inductive unsup probe here",
+    "",
+    "The proxies are strongly class-assortative (proxy-reddit: 76% of",
+    "edges within-class vs 2.4% chance), so a transductive table that",
+    "memorizes community structure (n2v trains one embedding row per",
+    "node, test rows via the fixed_n2v retrain) can near-solve them,",
+    "while the inductive unsup GraphSAGE probe must generalize from",
+    "weak features. On the real datasets the paper shows the opposite",
+    "ordering (DeepWalk 0.324 vs unsup GraphSAGE 0.897 on Reddit) --",
+    "the proxy bar is 'each path trains and beats its baselines', not",
+    "cross-model ordering.",
+    "",
     "## maxpool/seq on proxy-ppi: trained 40 epochs (root-caused, "
     "not a bug)",
     "",
