@@ -74,7 +74,11 @@ def _add_common(p: argparse.ArgumentParser, defaults: TrainFlags):
                         "devices with all-to-all halo exchange (supervised)")
     p.add_argument("--data_shards", type=int, default=d.data_shards,
                    help="pure data parallelism: replicate tables, split "
-                        "the batch over N devices, psum grads")
+                        "the batch over N devices, psum grads; combined "
+                        "with --graph_shards G it composes into a 2-D "
+                        "(data, graph) mesh — graph sharding within each "
+                        "G-device slice (ICI), DP across the N slices "
+                        "(DCN-friendly), N*G devices total")
     p.add_argument("--n_model_shards", type=int, default=d.n_model_shards,
                    help="feature-dim tensor parallelism over a "
                         "('data','model') mesh (supervised; composes "

@@ -306,13 +306,18 @@ def _embeds_spec_tree(tree, axis_name: str):
     )
 
 
-def _psum_except_embeds(grads, axis_name: str):
+def _psum_except_embeds(grads, axis_name, data_axis: str | None = None):
     """psum replicated-param grads; the sharded identity-table grad is
-    already the full cross-device scatter-add (all_to_all transpose)."""
+    already the full cross-device scatter-add (all_to_all transpose)
+    WITHIN a graph-axis group — under a composed ("data", "graph") mesh
+    each data slice holds a partial batch, so 'embeds' grads still psum
+    over the data axis (they are graph-sharded, data-replicated)."""
+    red = (data_axis, axis_name) if data_axis else axis_name
     return jax.tree_util.tree_map_with_path(
         lambda path, g: (
-            g if "embeds" in jax.tree_util.keystr(path)
-            else jax.lax.psum(g, axis_name)
+            (jax.lax.psum(g, data_axis) if data_axis else g)
+            if "embeds" in jax.tree_util.keystr(path)
+            else jax.lax.psum(g, red)
         ),
         grads,
     )
@@ -511,6 +516,7 @@ def make_sharded_supervised_step(
     capacity_factor: float = 4.0,
     params_like=None,
     opt_state_like=None,
+    data_axis: str | None = None,
 ):
     """Data-parallel + graph-sharded supervised train step via shard_map.
 
@@ -520,6 +526,13 @@ def make_sharded_supervised_step(
     structure drives the spec trees): the 'embeds' table and its
     optimizer moments are row-sharded along the axis and their grads skip
     the psum (exchange_gather's transpose already routed them home).
+
+    ``data_axis``: composed P1xP2 over a 2-D (data, graph) mesh
+    (distributed.py::data_graph_mesh — graph sharding rides ICI within a
+    slice, pure DP across slices rides DCN): the batch additionally
+    splits over ``data_axis``, tables stay graph-sharded/data-replicated,
+    halo exchanges stay scoped to the graph axis of each slice, and
+    loss/grad reductions run over both axes.
     """
     from graphsage_tpu.models.supervised import (
         _sigmoid_xent,
@@ -550,33 +563,38 @@ def make_sharded_supervised_step(
 
             decayed = sage_decay_weights(params, config)
             decayed += [params["head"]["w"], params["head"]["b"]]
-            # weight decay is replicated work; divide by D so the psum of
-            # shard losses/grads reproduces the single-device value
+            # weight decay is replicated work; divide by the total shard
+            # count so the psum of shard losses/grads reproduces the
+            # single-device value
             D = jax.lax.axis_size(axis_name)
+            if data_axis:
+                D = D * jax.lax.axis_size(data_axis)
             loss = loss + sup_config.weight_decay * sum(
                 0.5 * jnp.sum(w * w) for w in decayed
             ) / D
         return loss, (logits, dropped)
 
+    red = (data_axis, axis_name) if data_axis else axis_name
+
     def step(params, opt_state, rng, feat_local, adj_local, ids, labels,
              mask):
         global_mask_sum = jnp.maximum(
-            jax.lax.psum(jnp.sum(mask), axis_name), 1.0
+            jax.lax.psum(jnp.sum(mask), red), 1.0
         )
         (loss, (logits, dropped)), grads = jax.value_and_grad(
             local_loss, has_aux=True
         )(params, feat_local, adj_local, ids, labels, mask, rng,
           global_mask_sum)
-        loss = jax.lax.psum(loss, axis_name)
-        dropped = jax.lax.psum(dropped, axis_name)
-        grads = _psum_except_embeds(grads, axis_name)
+        loss = jax.lax.psum(loss, red)
+        dropped = jax.lax.psum(dropped, red)
+        grads = _psum_except_embeds(grads, axis_name, data_axis)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         preds = supervised_predict(logits, sup_config)
         return params, opt_state, loss, preds, dropped
 
     rep = P()
-    sh = P(axis_name)
+    sh = P(red) if data_axis else P(axis_name)
     if config.identity_dim > 0:
         assert params_like is not None and opt_state_like is not None, (
             "identity_dim > 0: pass params_like/opt_state_like so the "
@@ -586,10 +604,11 @@ def make_sharded_supervised_step(
         o_spec = _embeds_spec_tree(opt_state_like, axis_name)
     else:
         p_spec = o_spec = rep
+    tbl = P(axis_name)  # graph-sharded, data-replicated
     mapped = shard_map(
         step,
         mesh=mesh,
-        in_specs=(p_spec, o_spec, rep, sh, sh, sh, sh, sh),
+        in_specs=(p_spec, o_spec, rep, tbl, tbl, sh, sh, sh),
         out_specs=(p_spec, o_spec, rep, sh, rep),
         check_rep=False,
     )
@@ -605,6 +624,7 @@ def make_sharded_supervised_chunk_runner(
     capacity_factor: float = 4.0,
     params_like=None,
     opt_state_like=None,
+    data_axis: str | None = None,
 ):
     """Chunked multi-step dispatch for the graph-sharded path: a
     lax.fori_loop of sharded train steps runs INSIDE shard_map, so the
@@ -620,6 +640,10 @@ def make_sharded_supervised_chunk_runner(
     ``ids_perm`` is the device-resident padded+shuffled epoch stream
     (global, same on every shard); each step slices its batch and splits
     it across the axis locally.
+
+    ``data_axis``: composed P1xP2 over a 2-D (data, graph) mesh — see
+    make_sharded_supervised_step. The batch splits over data x graph;
+    exchanges stay within each slice's graph axis.
     """
     from graphsage_tpu.models.graphsage import l2_normalize
     from graphsage_tpu.models.supervised import (
@@ -651,18 +675,26 @@ def make_sharded_supervised_chunk_runner(
 
             decayed = sage_decay_weights(params, config)
             decayed += [params["head"]["w"], params["head"]["b"]]
-            # replicated work: /D so the psum of shard losses/grads
-            # reproduces the single-device value
+            # replicated work: /total-shards so the psum of shard
+            # losses/grads reproduces the single-device value
             D = jax.lax.axis_size(axis_name)
+            if data_axis:
+                D = D * jax.lax.axis_size(data_axis)
             loss = loss + sup_config.weight_decay * sum(
                 0.5 * jnp.sum(w * w) for w in decayed
             ) / D
         return loss, (logits, dropped)
 
+    red = (data_axis, axis_name) if data_axis else axis_name
+
     def mapped(params, opt_state, rng, feat_local, adj_local, ids_perm,
                labels_table, start_step, n_steps):
         D = jax.lax.axis_size(axis_name)
         me = jax.lax.axis_index(axis_name)
+        if data_axis:
+            # device order of P((data, graph)): data-major, graph-minor
+            me = jax.lax.axis_index(data_axis) * D + me
+            D = D * jax.lax.axis_size(data_axis)
         local_b = batch_size // D
 
         def one_step(carry, step_idx):
@@ -675,16 +707,16 @@ def make_sharded_supervised_chunk_runner(
             labels = jnp.take(labels_table, batch_ids, axis=0)
             mask = (batch_ids != num_nodes).astype(jnp.float32)
             global_mask_sum = jnp.maximum(
-                jax.lax.psum(jnp.sum(mask), axis_name), 1.0
+                jax.lax.psum(jnp.sum(mask), red), 1.0
             )
             step_rng = jax.random.fold_in(rng, step_idx)
             (loss, (logits, dropped)), grads = jax.value_and_grad(
                 local_loss, has_aux=True
             )(params, feat_local, adj_local, batch_ids, labels, mask,
               step_rng, global_mask_sum)
-            loss = jax.lax.psum(loss, axis_name)
-            dropped_tot += jax.lax.psum(dropped, axis_name)
-            grads = _psum_except_embeds(grads, axis_name)
+            loss = jax.lax.psum(loss, red)
+            dropped_tot += jax.lax.psum(dropped, red)
+            grads = _psum_except_embeds(grads, axis_name, data_axis)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             preds = supervised_predict(logits, sup_config)
@@ -708,7 +740,8 @@ def make_sharded_supervised_chunk_runner(
         return params, opt_state, loss, preds, ids, dropped_tot
 
     rep = P()
-    sh = P(axis_name)
+    sh = P(red) if data_axis else P(axis_name)  # batch outputs
+    tbl = P(axis_name)  # graph-sharded, data-replicated
     if config.identity_dim > 0:
         assert params_like is not None and opt_state_like is not None
         p_spec = _embeds_spec_tree(params_like, axis_name)
@@ -719,7 +752,7 @@ def make_sharded_supervised_chunk_runner(
         shard_map(
             mapped,
             mesh=mesh,
-            in_specs=(p_spec, o_spec, rep, sh, sh, rep, rep, rep, rep),
+            in_specs=(p_spec, o_spec, rep, tbl, tbl, rep, rep, rep, rep),
             out_specs=(p_spec, o_spec, rep, sh, sh, rep),
             check_rep=False,
         ),
@@ -787,6 +820,7 @@ def make_sharded_unsupervised_chunk_runner(
     capacity_factor: float = 4.0,
     params_like=None,
     opt_state_like=None,
+    data_axis: str | None = None,
 ):
     """Chunked multi-step graph-sharded unsupervised training (see
     make_sharded_supervised_chunk_runner). Carries the train-MRR EMA on
@@ -796,6 +830,9 @@ def make_sharded_unsupervised_chunk_runner(
            pairs_perm [P,2], neg_cdf, start_step, n_steps)
     -> (params, opt_state, shadow, last_loss, last_mrr,
         dropped_requests)  # total over the chunk, psum'd over shards
+
+    ``data_axis``: composed P1xP2 over a 2-D (data, graph) mesh — see
+    make_sharded_supervised_step.
     """
     from graphsage_tpu.models.graphsage import l2_normalize
     from graphsage_tpu.nn import prediction
@@ -803,11 +840,16 @@ def make_sharded_unsupervised_chunk_runner(
 
     config = unsup_config.sage
     num_nodes = config.num_nodes
+    red = (data_axis, axis_name) if data_axis else axis_name
 
     def mapped(params, opt_state, shadow, rng, feat_local, adj_local,
                pairs_perm, neg_cdf, start_step, n_steps):
         D = jax.lax.axis_size(axis_name)
         me = jax.lax.axis_index(axis_name)
+        if data_axis:
+            # device order of P((data, graph)): data-major, graph-minor
+            me = jax.lax.axis_index(data_axis) * D + me
+            D = D * jax.lax.axis_size(data_axis)
         local_b = batch_size // D
 
         def local_loss(params, b1, b2, mask, step_rng, global_mask_sum):
@@ -837,11 +879,13 @@ def make_sharded_unsupervised_chunk_runner(
                     sage_decay_weights,
                 )
 
-                D = jax.lax.axis_size(axis_name)
+                Dw = jax.lax.axis_size(axis_name)
+                if data_axis:
+                    Dw = Dw * jax.lax.axis_size(data_axis)
                 loss = loss + unsup_config.weight_decay * sum(
                     0.5 * jnp.sum(w * w)
                     for w in sage_decay_weights(params, config)
-                ) / D
+                ) / Dw
             aff = prediction.affinity(o1, o2)
             neg_aff = prediction.neg_cost(o1, neg)
             _, mrr = prediction.mrr_and_ranks(aff, neg_aff, mask)
@@ -857,16 +901,16 @@ def make_sharded_unsupervised_chunk_runner(
             b1, b2 = pair[:, 0], pair[:, 1]
             mask = (b1 != num_nodes).astype(jnp.float32)
             global_mask_sum = jnp.maximum(
-                jax.lax.psum(jnp.sum(mask), axis_name), 1.0
+                jax.lax.psum(jnp.sum(mask), red), 1.0
             )
             step_rng = jax.random.fold_in(rng, step_idx)
             (loss, (mrr, dropped)), grads = jax.value_and_grad(
                 local_loss, has_aux=True
             )(params, b1, b2, mask, step_rng, global_mask_sum)
-            loss = jax.lax.psum(loss, axis_name)
-            dropped_tot += jax.lax.psum(dropped, axis_name)
-            mrr = _global_masked_mrr(mrr, mask, axis_name)
-            grads = _psum_except_embeds(grads, axis_name)
+            loss = jax.lax.psum(loss, red)
+            dropped_tot += jax.lax.psum(dropped, red)
+            mrr = _global_masked_mrr(mrr, mask, red)
+            grads = _psum_except_embeds(grads, axis_name, data_axis)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             shadow = jnp.where(
@@ -885,7 +929,7 @@ def make_sharded_unsupervised_chunk_runner(
         return params, opt_state, shadow, loss, mrr, dropped_tot
 
     rep = P()
-    sh = P(axis_name)
+    tbl = P(axis_name)  # graph-sharded, data-replicated
     if config.identity_dim > 0:
         assert params_like is not None and opt_state_like is not None
         p_spec = _embeds_spec_tree(params_like, axis_name)
@@ -896,7 +940,7 @@ def make_sharded_unsupervised_chunk_runner(
         shard_map(
             mapped,
             mesh=mesh,
-            in_specs=(p_spec, o_spec, rep, rep, sh, sh, rep, rep, rep,
+            in_specs=(p_spec, o_spec, rep, rep, tbl, tbl, rep, rep, rep,
                       rep),
             out_specs=(p_spec, o_spec, rep, rep, rep, rep),
             check_rep=False,

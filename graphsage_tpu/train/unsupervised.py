@@ -579,12 +579,24 @@ def _train_sharded(flags: TrainFlags, graph, deg, batcher: EdgeBatcher,
     )
 
     D = flags.graph_shards
-    assert flags.batch_size % D == 0, "batch_size must divide graph_shards"
+    # Composed P1xP2 (--data_shards M with --graph_shards N): 2-D
+    # (data, graph) mesh — see train/supervised.py::_train_sharded.
+    Dd = max(flags.data_shards, 1)
+    total = D * Dd
+    assert flags.batch_size % total == 0, (
+        "batch_size must divide data_shards * graph_shards"
+    )
     devices = jax.devices()
-    if len(devices) < D:
+    if len(devices) < total:
         devices = jax.devices("cpu")
-    assert len(devices) >= D, f"need {D} devices for --graph_shards {D}"
-    mesh = Mesh(np.asarray(devices[:D]), ("graph",))
+    assert len(devices) >= total, (
+        f"need {total} devices for --graph_shards {D} x --data_shards {Dd}"
+    )
+    if Dd > 1:
+        mesh = Mesh(np.asarray(devices[:total]).reshape(Dd, D),
+                    ("data", "graph"))
+    else:
+        mesh = Mesh(np.asarray(devices[:D]), ("graph",))
 
     config = build_unsupervised_config(flags, graph)
     train_adj_np, _, full_adj_np = build_both_adjs(
@@ -641,6 +653,7 @@ def _train_sharded(flags: TrainFlags, graph, deg, batcher: EdgeBatcher,
         config, optimizer, mesh, flags.batch_size,
         capacity_factor=cap_factor,
         params_like=params, opt_state_like=opt_state,
+        data_axis="data" if Dd > 1 else None,
     )
     eval_step = make_sharded_unsupervised_eval(
         config, mesh, capacity_factor=cap_factor, params_like=params

@@ -944,3 +944,151 @@ def test_exchange_gather_remote_only_zeroes_local(mesh, np_rng):
     )
     full = g(jnp.asarray(local_t), jnp.asarray(idx))
     np.testing.assert_allclose(np.asarray(full), table[idx], rtol=1e-6)
+
+
+def test_composed_data_graph_mesh_matches_single_device(toy_graph):
+    """P1xP2 composition: a (2, 4) ("data", "graph") mesh — batch split
+    over data x graph, tables graph-sharded/data-replicated, halo
+    exchange scoped to each slice's graph axis, grads psum'd over both
+    axes (embeds over data only) — reproduces the single-device step
+    (distributed.py::data_graph_mesh deployment shape)."""
+    from graphsage_tpu.data.adjacency import build_both_adjs
+    from graphsage_tpu.models.graphsage import LayerInfo, SAGEConfig
+    from graphsage_tpu.models.supervised import (
+        SupervisedConfig,
+        init_supervised_params,
+        make_optimizer,
+    )
+    from graphsage_tpu.parallel.dp import make_supervised_train_step
+    from graphsage_tpu.parallel.graph_sharded import (
+        make_sharded_supervised_chunk_runner,
+    )
+
+    g = toy_graph
+    adj, _, _ = build_both_adjs(g, max_degree=8)
+    feats = g.padded_features()
+    sage = SAGEConfig(
+        layers=(LayerInfo(4, 8), LayerInfo(3, 8)),
+        feature_dim=feats.shape[1],
+        aggregator="mean",
+        sampler_mode="first_k",
+        num_nodes=g.num_nodes,
+    )
+    sup = SupervisedConfig(sage=sage, num_classes=g.num_classes,
+                           sigmoid_loss=False, weight_decay=0.01)
+    params = init_supervised_params(jax.random.key(0), sup)
+    optimizer = make_optimizer(0.05)
+
+    B = 16
+    ids = np.arange(B, dtype=np.int32)
+    labels_table = np.zeros((g.num_nodes + 1, g.num_classes), np.float32)
+    labels_table[:g.num_nodes] = np.asarray(g.labels, np.float32)
+    mask = np.ones(B, dtype=np.float32)
+    rng = jax.random.key(7)
+
+    # single-device 2-step reference (same rng folding as the runner)
+    single = jax.jit(make_supervised_train_step(sup, optimizer))
+    p1 = jax.tree.map(jnp.copy, params)
+    o1 = optimizer.init(params)
+    for step_idx in range(2):
+        bid = ids  # same batch both steps (ids_perm repeats below)
+        p1, o1, loss1, _ = single(
+            p1, o1, jax.random.fold_in(rng, step_idx),
+            jnp.asarray(feats), jnp.asarray(adj), jnp.asarray(bid),
+            jnp.asarray(labels_table[bid]), jnp.asarray(mask),
+        )
+
+    mesh2d = Mesh(np.asarray(jax.devices()[:8]).reshape(2, 4),
+                  ("data", "graph"))
+    feat_sh, _ = shard_rows(feats, 4)
+    adj_sh, _ = shard_rows(adj, 4)
+    o2 = optimizer.init(params)
+    runner = make_sharded_supervised_chunk_runner(
+        sup, optimizer, mesh2d, B, capacity_factor=4.0,
+        params_like=params, opt_state_like=o2, data_axis="data",
+    )
+    ids_perm = jnp.asarray(np.concatenate([ids, ids]))
+    p2, o2, loss2, preds, last_ids, dropped = runner(
+        jax.tree.map(jnp.copy, params), o2, rng,
+        jnp.asarray(feat_sh), jnp.asarray(adj_sh),
+        ids_perm, jnp.asarray(labels_table), 0, 2,
+    )
+    assert int(dropped) == 0
+    np.testing.assert_array_equal(np.asarray(last_ids), ids)
+    np.testing.assert_allclose(float(loss2), float(loss1), rtol=1e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6
+        ),
+        p2, p1,
+    )
+
+
+def test_composed_unsup_matches_1d_eight_shard(toy_graph):
+    """Unsupervised composed (2, 4) data x graph runner reproduces the
+    1-D 8-shard runner: identical device->batch mapping and per-device
+    negative draws, exact (capacity-sufficient) gathers either way —
+    only the exchange topology (4-shard groups vs 8 shards) and psum
+    grouping differ, which cannot change values beyond f32 ordering."""
+    from graphsage_tpu.data.adjacency import build_both_adjs
+    from graphsage_tpu.models.graphsage import LayerInfo, SAGEConfig
+    from graphsage_tpu.models.unsupervised import (
+        UnsupervisedConfig,
+        init_unsupervised_params,
+    )
+    from graphsage_tpu.models.supervised import make_optimizer
+    from graphsage_tpu.parallel.graph_sharded import (
+        make_sharded_unsupervised_chunk_runner,
+    )
+    from graphsage_tpu.nn.negative import unigram_cdf
+
+    g = toy_graph
+    adj, deg, _ = build_both_adjs(g, max_degree=8)
+    feats = g.padded_features()
+    sage = SAGEConfig(
+        layers=(LayerInfo(4, 8), LayerInfo(3, 8)),
+        feature_dim=feats.shape[1],
+        aggregator="mean",
+        sampler_mode="first_k",
+        num_nodes=g.num_nodes,
+    )
+    unsup = UnsupervisedConfig(sage=sage, neg_sample_size=4)
+    params = init_unsupervised_params(jax.random.key(0), unsup)
+    optimizer = make_optimizer(0.05)
+    B = 16
+    pairs = np.stack([np.arange(B, dtype=np.int32),
+                      np.arange(B, dtype=np.int32)[::-1]], 1)
+    pairs_perm = jnp.asarray(np.concatenate([pairs, pairs]))
+    cdf = jnp.asarray(np.asarray(unigram_cdf(
+        np.concatenate([deg, [0]]).astype(np.float32))))
+    rng = jax.random.key(7)
+
+    def run(mesh, data_axis):
+        o = optimizer.init(params)
+        runner = make_sharded_unsupervised_chunk_runner(
+            unsup, optimizer, mesh, B, capacity_factor=8.0,
+            params_like=params, opt_state_like=o, data_axis=data_axis,
+        )
+        feat_sh, _ = shard_rows(feats, 4 if data_axis else 8)
+        adj_sh, _ = shard_rows(adj, 4 if data_axis else 8)
+        p, o, shadow, loss, mrr, dropped = runner(
+            jax.tree.map(jnp.copy, params), o, jnp.asarray(-1.0), rng,
+            jnp.asarray(feat_sh), jnp.asarray(adj_sh), pairs_perm, cdf,
+            0, 2,
+        )
+        assert int(dropped) == 0
+        return p, float(loss), float(mrr)
+
+    mesh1d = Mesh(np.asarray(jax.devices()[:8]), ("graph",))
+    mesh2d = Mesh(np.asarray(jax.devices()[:8]).reshape(2, 4),
+                  ("data", "graph"))
+    p1, l1, m1 = run(mesh1d, None)
+    p2, l2, m2 = run(mesh2d, "data")
+    np.testing.assert_allclose(l2, l1, rtol=1e-5)
+    np.testing.assert_allclose(m2, m1, rtol=1e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6
+        ),
+        p2, p1,
+    )
