@@ -10,7 +10,11 @@ Each process: 4 virtual CPU devices, joins a 2-process Gloo cluster
     feature table (SURVEY §7 stage 7);
   * the P2 sharded supervised chunk runner over the CROSS-PROCESS mesh
     matches a process-local single-device chunk runner bit-for-bit
-    (first_k sampler).
+    (first_k sampler);
+  * the composed P1xP2 runner over a (2, 4) ("data", "graph") mesh with
+    the DATA axis spanning the two processes (graph sharding process-
+    local — the ICI-in-slice / DP-over-DCN deployment shape) matches
+    the same single-device reference.
 
 Run: XLA_FLAGS=--xla_force_host_platform_device_count=4 \
      python tests/_mp_worker_sharded.py <port> <process_id> <prefix>
@@ -147,3 +151,32 @@ np.testing.assert_allclose(
     host_array(preds2), ref_preds, rtol=1e-4, atol=1e-6,
 )
 print(f"MP_SHARDED_OK {pid}", flush=True)
+
+# --- composed P1xP2 with the DATA axis spanning the two processes:
+# each process is one data slice of 4 graph shards — graph sharding
+# stays process-local (the ICI-in-slice / DP-over-DCN deployment shape)
+cmesh = Mesh(np.asarray(jax.devices()).reshape(2, 4), ("data", "graph"))
+feat_c = put_global(
+    shard_rows(np.asarray(feats, np.float32), 4)[0], cmesh, P("graph")
+)
+adj_c = put_global(shard_rows(adj, 4)[0], cmesh, P("graph"))
+# fresh init: the 1-D runner above DONATED its params/opt buffers
+params_f = init_supervised_params(jax.random.key(0), sup)
+params_c = replicate_unsharded(params_f, cmesh)
+opt_c = replicate_unsharded(optimizer.init(params_f), cmesh)
+runc = make_sharded_supervised_chunk_runner(
+    sup, optimizer, cmesh, B, capacity_factor=8.0,
+    params_like=params_c, opt_state_like=opt_c, data_axis="data",
+)
+p3, _, loss3, preds3, _, dropped3 = runc(
+    params_c, opt_c, rng, feat_c, adj_c, ids_perm, labels_table,
+    0, STEPS,
+)
+assert int(host_array(dropped3)) == 0
+np.testing.assert_allclose(float(host_array(loss3)), float(loss1),
+                           rtol=1e-5)
+np.testing.assert_allclose(
+    host_array(p3["head"]["w"]), np.asarray(p1["head"]["w"]),
+    rtol=1e-4, atol=1e-6,
+)
+print(f"MP_COMPOSED_OK {pid}", flush=True)

@@ -67,4 +67,4 @@ def test_two_process_graph_sharded_parity(tmp_path):
     g = make_synthetic_graph(num_nodes=120, num_classes=3, feat_dim=8, seed=7)
     prefix = str(tmp_path / "mp" / "synth")
     write_dataset(g, prefix)
-    _run_workers("_mp_worker_sharded.py", "MP_SHARDED_OK", (prefix,))
+    _run_workers("_mp_worker_sharded.py", "MP_COMPOSED_OK", (prefix,))
