@@ -9,6 +9,8 @@ target — run it on a real TPU slice when one is available:
 
     python benchmarks/scaling_probe.py              # all powers of 2
     python benchmarks/scaling_probe.py --devices 1,4,8
+    python benchmarks/scaling_probe.py --devices 4 --data_shards=2
+                       # composed P1xP2: (2, 4) (data, graph) mesh
 
 Without multi-chip hardware it falls back to the 8-virtual-device CPU
 mesh (--cpu forces this): those numbers check the SPMD program end to
@@ -77,8 +79,10 @@ def parse_devices(avail: int) -> list[int]:
     return out
 
 
-def run_at(D: int) -> float:
-    """Edges/s of the sharded supervised chunk runner on a D-chip mesh."""
+def run_at(D: int, data_shards: int = 1) -> float:
+    """Edges/s of the sharded supervised chunk runner on a D-chip
+    ("graph",) mesh — or, with ``data_shards`` M > 1, the composed P1xP2
+    runner on an (M, D) ("data", "graph") mesh (M*D chips)."""
     from graphsage_tpu.models.graphsage import LayerInfo, SAGEConfig
     from graphsage_tpu.models.supervised import (
         SupervisedConfig,
@@ -101,7 +105,7 @@ def run_at(D: int) -> float:
         aggregator="mean",
         num_nodes=NUM_NODES,
         # engages the fused inner-hop gather: the whole mean at D=1,
-        # the split-local weighted-sum fraction at D>1
+        # the split local-mean + remote-only exchange at D>1
         # (graph_sharded.py fuse_inner)
         fused_gather=True,
     )
@@ -122,7 +126,14 @@ def run_at(D: int) -> float:
     labels_table[np.arange(NUM_NODES),
                  rng.integers(0, NUM_CLASSES, NUM_NODES)] = 1.0
 
-    mesh = Mesh(np.asarray(jax.devices()[:D]), ("graph",))
+    if data_shards > 1:
+        mesh = Mesh(
+            np.asarray(jax.devices()[:data_shards * D])
+            .reshape(data_shards, D),
+            ("data", "graph"),
+        )
+    else:
+        mesh = Mesh(np.asarray(jax.devices()[:D]), ("graph",))
     cap = suggest_capacity_factor(adj, D)
     feat_sh = put_global(shard_rows(feats, D)[0], mesh, P("graph"))
     adj_sh = put_global(shard_rows(adj, D)[0], mesh, P("graph"))
@@ -138,6 +149,7 @@ def run_at(D: int) -> float:
     runner = make_sharded_supervised_chunk_runner(
         sup, optimizer, mesh, BATCH, capacity_factor=cap,
         params_like=params, opt_state_like=opt_state,
+        data_axis="data" if data_shards > 1 else None,
     )
     n_steps = (WARMUP_CHUNKS + TIMED_CHUNKS) * CHUNK
     ids_perm = jnp.asarray(rng.integers(
@@ -171,14 +183,21 @@ def main():
     sizes = [d for d in parse_devices(avail) if d <= avail]
     print(f"# platform={platform} devices={avail} sizes={sizes}",
           file=sys.stderr, flush=True)
+    data_shards = 1
+    for a in sys.argv:
+        if a.startswith("--data_shards="):
+            data_shards = int(a.split("=", 1)[1])
     base = None
     for D in sizes:
-        eps = run_at(D)
+        if data_shards * D > avail:
+            continue
+        eps = run_at(D, data_shards)
         base = base if base is not None else (D, eps)
         eff = eps / (base[1] * D / base[0])
         print(json.dumps({
             "metric": "sharded_train_edges_per_sec",
             "devices": D,
+            "data_shards": data_shards,
             "platform": platform,
             "value": round(eps),
             "unit": "edges/s",
