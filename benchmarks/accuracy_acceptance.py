@@ -192,8 +192,8 @@ def main():
 
     for name, (prefix, spec) in prefixes.items():
         sigmoid = bool(spec["multilabel"])
-        for model in ("graphsage_mean", "graphsage_maxpool",
-                      "graphsage_seq"):
+        for model in ("graphsage_mean", "gcn", "graphsage_maxpool",
+                      "graphsage_meanpool", "graphsage_seq"):
             t0 = time.time()
             kw = dict(model=model, sigmoid=sigmoid)
             note = ""
