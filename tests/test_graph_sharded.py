@@ -1092,3 +1092,29 @@ def test_composed_unsup_matches_1d_eight_shard(toy_graph):
         ),
         p2, p1,
     )
+
+
+def test_composed_trainer_end_to_end(tmp_path, toy_graph):
+    """--data_shards 2 x --graph_shards 4: the full supervised trainer
+    over the composed (2, 4) CPU mesh trains (batch over both axes,
+    tables graph-sharded/data-replicated) and writes the stats contract;
+    the eval sweeps run unchanged on the 2-D mesh."""
+    import os
+
+    from graphsage_tpu.train.config import TrainFlags
+    from graphsage_tpu.train.supervised import train
+
+    flags = TrainFlags(
+        train_prefix=str(tmp_path / "synth"),
+        epochs=2, batch_size=16, samples_1=4, samples_2=3,
+        dim_1=8, dim_2=8, max_degree=8, validate_iter=4,
+        validate_batch_size=8, print_every=1000,
+        base_log_dir=str(tmp_path), graph_shards=4, data_shards=2,
+        fused_gather=True, seed=123,
+    )
+    result = train(flags, graph=toy_graph)
+    assert np.isfinite(result["val_loss"])
+    assert result["val_f1_mic"] > 0.4
+    log_dir = flags.log_dir("supervised")
+    assert os.path.exists(os.path.join(log_dir, "val_stats.txt"))
+    assert os.path.exists(os.path.join(log_dir, "test_stats.txt"))
