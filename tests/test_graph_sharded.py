@@ -1118,3 +1118,58 @@ def test_composed_trainer_end_to_end(tmp_path, toy_graph):
     log_dir = flags.log_dir("supervised")
     assert os.path.exists(os.path.join(log_dir, "val_stats.txt"))
     assert os.path.exists(os.path.join(log_dir, "test_stats.txt"))
+
+
+def test_composed_step_matches_single_device(toy_graph):
+    """make_sharded_supervised_step with data_axis on the (2, 4) mesh:
+    loss equals the single-device loss (first_k sampler)."""
+    from graphsage_tpu.data.adjacency import build_both_adjs
+    from graphsage_tpu.models.graphsage import LayerInfo, SAGEConfig
+    from graphsage_tpu.models.supervised import (
+        SupervisedConfig,
+        init_supervised_params,
+        make_optimizer,
+        supervised_loss,
+    )
+
+    g = toy_graph
+    adj, _, _ = build_both_adjs(g, max_degree=8)
+    feats = g.padded_features()
+    sage = SAGEConfig(
+        layers=(LayerInfo(4, 8), LayerInfo(3, 8)),
+        feature_dim=feats.shape[1],
+        aggregator="mean",
+        sampler_mode="first_k",
+        num_nodes=g.num_nodes,
+    )
+    sup = SupervisedConfig(sage=sage, num_classes=g.num_classes,
+                           sigmoid_loss=False, weight_decay=0.01)
+    params = init_supervised_params(jax.random.key(0), sup)
+    optimizer = make_optimizer(0.01)
+    B = 16
+    ids = np.arange(B, dtype=np.int32)
+    labels = g.labels[ids]
+    mask = np.ones(B, dtype=np.float32)
+    rng = jax.random.key(7)
+
+    ref_loss, _ = supervised_loss(
+        params, jnp.asarray(feats), jnp.asarray(adj), jnp.asarray(ids),
+        jnp.asarray(labels), jnp.asarray(mask), rng, sup,
+        deterministic=True,
+    )
+
+    mesh2d = Mesh(np.asarray(jax.devices()[:8]).reshape(2, 4),
+                  ("data", "graph"))
+    feat_sh, _ = shard_rows(feats, 4)
+    adj_sh, _ = shard_rows(adj, 4)
+    step = make_sharded_supervised_step(
+        sup, optimizer, mesh2d, capacity_factor=8.0, data_axis="data",
+    )
+    _, _, loss, preds, dropped = step(
+        params, optimizer.init(params), rng,
+        jnp.asarray(feat_sh), jnp.asarray(adj_sh),
+        jnp.asarray(ids), jnp.asarray(labels), jnp.asarray(mask),
+    )
+    assert int(dropped) == 0
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
+    assert preds.shape == (B, g.num_classes)
