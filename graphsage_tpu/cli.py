@@ -156,6 +156,11 @@ def build_parser() -> argparse.ArgumentParser:
     p_eval.add_argument("setting", choices=("val", "test"))
     p_eval.add_argument("--seed", type=int, default=1)
     p_eval.add_argument(
+        "--sgd_max_iter", type=int, default=None,
+        help="cap the SGD logistic-regression epochs (modern sklearn "
+             "defaults to 1000 — prohibitive at Reddit scale; the "
+             "reference's sklearn-0.18-era n_iter default was 5)")
+    p_eval.add_argument(
         "--label_tsvs", default=None,
         help="comma-separated per-class TSV label files (the reference "
              "citation eval's scheme)")
@@ -208,6 +213,7 @@ def main(argv=None) -> int:
         evaluate_embeddings(
             args.train_prefix, args.embed_dir, args.setting,
             seed=args.seed,
+            sgd_max_iter=args.sgd_max_iter,
             label_tsvs=(
                 args.label_tsvs.split(",") if args.label_tsvs else None
             ),
