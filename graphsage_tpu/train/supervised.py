@@ -143,6 +143,13 @@ def train(flags: TrainFlags, graph=None) -> dict:
         print("Done loading training data..")
 
     if flags.graph_shards > 1:
+        if flags.n_model_shards > 1:
+            raise ValueError(
+                "--n_model_shards (feature-dim TP over a pjit mesh) does "
+                "not compose with --graph_shards (shard_map halo "
+                "exchange); combine --graph_shards with --data_shards "
+                "instead (2-D data x graph mesh)"
+            )
         return _train_sharded(flags, graph)
 
     # Deferred table but a single-device run: materialize it fully into
