@@ -200,9 +200,14 @@ def aggregate_pyramid(
                 )
             else:
                 hop_rng = None
+            extra = {}
             if (layer == 0 and hop == n_layers - 1
                     and last_hop_neigh_mean is not None):
                 neigh = last_hop_neigh_mean  # [B*support, F], pre-reduced
+                if config.aggregator == "gcn":
+                    # gcn recombines the pre-reduced neighbor mean with
+                    # self: (S*mean + self)/(S+1) — needs S
+                    extra = {"n_samples": fanouts[0]}
             else:
                 neigh = hidden[hop + 1].reshape(
                     batch_size * support[hop],
@@ -219,6 +224,7 @@ def aggregate_pyramid(
                 dropout_rate=config.dropout,
                 rng=hop_rng,
                 deterministic=deterministic,
+                **extra,
             )
             if capture is not None:
                 capture[f"acts/layer_{layer}/hop_{hop}"] = h
@@ -249,12 +255,15 @@ def sage_embed(
     # spot ([B*prod(fanouts), F]). For the mean aggregator its only use
     # is a mean, so the Pallas gather+mean kernel (ops/gather.py) never
     # materializes the gather — valid in training too, since features
-    # carry no gradient. (A fused gather+MLP+pool kernel for the pooled
-    # aggregators was built and measured speed-parity with XLA at the
-    # Reddit pool shape, so it was removed — benchmarks/KERNEL_NOTES.md.)
+    # carry no gradient. gcn's self-inclusive mean recombines from the
+    # same reduced mean as (S*mean + self)/(S+1) (aggregators.py
+    # apply_gcn), so it rides the same kernel. (A fused
+    # gather+MLP+pool kernel for the pooled aggregators was built and
+    # measured speed-parity with XLA at the Reddit pool shape, so it
+    # was removed — benchmarks/KERNEL_NOTES.md.)
     use_fused = (
         config.fused_gather
-        and config.aggregator == "mean"
+        and config.aggregator in ("mean", "gcn")
         and config.identity_dim == 0
         and features is not None
         and (deterministic or config.dropout == 0.0)

@@ -92,14 +92,25 @@ def init_gcn(key, input_dim, output_dim, model_size="small", bias=False):
 
 
 def apply_gcn(params, self_vecs, neigh_vecs, *, act, concat,
-              dropout_rate=0.0, rng=None, deterministic=True):
+              dropout_rate=0.0, rng=None, deterministic=True,
+              n_samples=None):
     del concat  # gcn is used with concat=False; output never concatenates
     r1, r2 = _split(rng, 2)
     neigh_vecs = dropout(r1, neigh_vecs, dropout_rate, deterministic)
     self_vecs = dropout(r2, self_vecs, dropout_rate, deterministic)
-    means = jnp.mean(
-        jnp.concatenate([neigh_vecs, self_vecs[:, None, :]], axis=1), axis=1
-    )
+    if neigh_vecs.ndim == 2:
+        # pre-reduced [n, d] neighbor mean (fused gather-mean fast path;
+        # only valid with dropout=0 since the reference drops individual
+        # neighbor rows pre-mean): the self-inclusive gcn mean over S
+        # neighbors + self recombines as (S*mean + self) / (S+1).
+        means = (n_samples * neigh_vecs + self_vecs) * (
+            1.0 / (n_samples + 1)
+        )
+    else:
+        means = jnp.mean(
+            jnp.concatenate([neigh_vecs, self_vecs[:, None, :]], axis=1),
+            axis=1,
+        )
     out = jnp.dot(means, params["w"], preferred_element_type=jnp.float32)
     if "b" in params:
         out = out + params["b"]

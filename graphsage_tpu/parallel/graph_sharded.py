@@ -382,7 +382,7 @@ def sharded_sage_embed(
     # dependency on it, so the two overlap.
     fuse_inner = (
         config.fused_gather
-        and config.aggregator == "mean"
+        and config.aggregator in ("mean", "gcn")
         and config.identity_dim == 0
         and feat_local is not None
         and config.feature_dim > 0

@@ -1173,3 +1173,61 @@ def test_composed_step_matches_single_device(toy_graph):
     assert int(dropped) == 0
     np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
     assert preds.shape == (B, g.num_classes)
+
+
+def test_multi_shard_fused_gcn_matches_plain(mesh, toy_graph):
+    """D=8 + fused_gather with the gcn aggregator: the split inner-hop
+    mean feeds gcn's (S*mean + self)/(S+1) recombination — matches the
+    plain single-device step."""
+    from graphsage_tpu.data.adjacency import build_both_adjs
+    from graphsage_tpu.models.graphsage import LayerInfo, SAGEConfig
+    from graphsage_tpu.models.supervised import (
+        SupervisedConfig,
+        init_supervised_params,
+        make_optimizer,
+    )
+    from graphsage_tpu.ops.gather import pad_feature_dim
+    from graphsage_tpu.parallel.dp import make_supervised_train_step
+
+    g = toy_graph
+    adj, _, _ = build_both_adjs(g, max_degree=8)
+    feats = pad_feature_dim(g.padded_features())
+    sage = SAGEConfig(
+        layers=(LayerInfo(4, 8), LayerInfo(3, 8)),
+        feature_dim=g.padded_features().shape[1],
+        aggregator="gcn",
+        concat=False,
+        sampler_mode="first_k",
+        fused_gather=True,
+        num_nodes=g.num_nodes,
+    )
+    sup = SupervisedConfig(sage=sage, num_classes=g.num_classes)
+    params = init_supervised_params(jax.random.key(0), sup)
+    optimizer = make_optimizer(0.05)
+    B = 16
+    ids = np.arange(B, dtype=np.int32)
+    labels = g.labels[ids]
+    mask = np.ones(B, dtype=np.float32)
+    rng = jax.random.key(7)
+
+    single = make_supervised_train_step(sup, optimizer)
+    _, _, loss1, _ = jax.jit(single)(
+        jax.tree.map(jnp.copy, params), optimizer.init(params), rng,
+        jnp.asarray(feats), jnp.asarray(adj),
+        jnp.asarray(ids), jnp.asarray(labels), jnp.asarray(mask),
+    )
+
+    feat_sh, _ = shard_rows(feats, D)
+    adj_sh, _ = shard_rows(adj, D)
+    o2 = optimizer.init(params)
+    step = make_sharded_supervised_step(
+        sup, optimizer, mesh, capacity_factor=8.0,
+        params_like=params, opt_state_like=o2,
+    )
+    _, _, loss2, _, dropped = step(
+        jax.tree.map(jnp.copy, params), o2, rng,
+        jnp.asarray(feat_sh), jnp.asarray(adj_sh),
+        jnp.asarray(ids), jnp.asarray(labels), jnp.asarray(mask),
+    )
+    assert int(dropped) == 0
+    np.testing.assert_allclose(float(loss2), float(loss1), rtol=1e-5)

@@ -52,9 +52,11 @@ def test_fused_gather_mean_bf16_input(np_rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-2)
 
 
-def test_sage_embed_fused_matches_unfused(toy_graph):
+@pytest.mark.parametrize("aggregator", ["mean", "gcn"])
+def test_sage_embed_fused_matches_unfused(toy_graph, aggregator):
     """The model-level fast path is numerically identical to the default
-    path when sampling indices agree (same rng, dropout=0)."""
+    path when sampling indices agree (same rng, dropout=0). gcn rides
+    the same kernel via the (S*mean + self)/(S+1) recombination."""
     import dataclasses
 
     from graphsage_tpu.data.adjacency import build_both_adjs
@@ -72,7 +74,8 @@ def test_sage_embed_fused_matches_unfused(toy_graph):
     config = SAGEConfig(
         layers=(LayerInfo(4, 8), LayerInfo(3, 8)),
         feature_dim=feats.shape[1],
-        aggregator="mean",
+        aggregator=aggregator,
+        concat=aggregator != "gcn",
     )
     params = init_sage_params(jax.random.key(0), config)
     ids = jnp.arange(16, dtype=jnp.int32)
