@@ -264,8 +264,8 @@ def sage_embed(
     use_fused = (
         config.fused_gather
         and config.aggregator in ("mean", "gcn")
-        and config.identity_dim == 0
         and features is not None
+        and config.feature_dim > 0
         and (deterministic or config.dropout == 0.0)
     )
     last_mean = None
@@ -279,6 +279,16 @@ def sage_embed(
         )
         if last_mean.shape[1] != config.feature_dim:
             last_mean = last_mean[:, : config.feature_dim]
+        if config.identity_dim > 0:
+            # The mean splits per column group (rows are [identity |
+            # features]): the trainable identity columns stay on the
+            # differentiable XLA take (the table needs gradients; the
+            # kernel has no VJP), the feature columns ride the kernel.
+            id_rows = jnp.take(params["embeds"], samples[-1], axis=0)
+            id_mean = id_rows.reshape(
+                -1, inner_fanout, config.identity_dim
+            ).mean(axis=1)
+            last_mean = jnp.concatenate([id_mean, last_mean], axis=1)
         hidden = [
             gather_features(params, features, s, config)
             for s in samples[:-1]

@@ -368,9 +368,9 @@ def sharded_sage_embed(
     layout = config.shard_layout
     # Fused fast path for the innermost hop: the Pallas fused gather+mean
     # (ops/gather.py) serves the dominant [B*prod(fanouts), F] gather
-    # without materializing it (same eligibility as sage_embed: mean-only
-    # use of the rows, no trainable identity rows in them, no pre-mean
-    # dropout). At D=1 every row is local and the kernel serves the whole
+    # without materializing it (same eligibility as sage_embed:
+    # mean-family aggregator, no pre-mean dropout; trainable identity
+    # columns are split off onto the differentiable exchange below). At D=1 every row is local and the kernel serves the whole
     # mean (measured: took the sharded runner from 77% of the plain path
     # to 44.6M edges/s — benchmarks/KERNEL_NOTES.md). At D>1 the mean is
     # SPLIT: the local fraction is mean-reduced straight off the local
@@ -383,7 +383,6 @@ def sharded_sage_embed(
     fuse_inner = (
         config.fused_gather
         and config.aggregator in ("mean", "gcn")
-        and config.identity_dim == 0
         and feat_local is not None
         and config.feature_dim > 0
         and (deterministic or config.dropout == 0.0)
@@ -497,6 +496,20 @@ def sharded_sage_embed(
             last_mean = local_sum + remote_sum
         if last_mean.shape[1] != config.feature_dim:
             last_mean = last_mean[:, : config.feature_dim]
+        if config.identity_dim > 0:
+            # rows are [identity | features]: the mean splits per column
+            # group, so the trainable identity columns take the normal
+            # (differentiable, grad-routing) exchange while the feature
+            # columns used the fused/split path above.
+            id_rows, d = exchange_gather(
+                params["embeds"], samples[-1], axis_name,
+                _capacity(samples[-1].shape[0], D, capacity_factor),
+                return_dropped=True, split_local=split_local,
+                layout=layout,
+            )
+            dropped += d
+            id_mean = id_rows.reshape(idx2.shape[0], S0, -1).mean(axis=1)
+            last_mean = jnp.concatenate([id_mean, last_mean], axis=1)
     out = aggregate_pyramid(
         params, hidden, ids.shape[0], config,
         rng=None if deterministic else keys[-1],

@@ -1231,3 +1231,83 @@ def test_multi_shard_fused_gcn_matches_plain(mesh, toy_graph):
     )
     assert int(dropped) == 0
     np.testing.assert_allclose(float(loss2), float(loss1), rtol=1e-5)
+
+
+def test_multi_shard_fused_identity_matches_plain(mesh, toy_graph):
+    """D=8 + fused_gather + identity_dim: the feature columns ride the
+    split-fused mean while the trainable identity columns take the
+    differentiable exchange; updated params (INCLUDING the row-sharded
+    embeds table and its gradient routing) match the single-device
+    step."""
+    from graphsage_tpu.data.adjacency import build_both_adjs
+    from graphsage_tpu.models.graphsage import LayerInfo, SAGEConfig
+    from graphsage_tpu.models.supervised import (
+        SupervisedConfig,
+        init_supervised_params,
+        make_optimizer,
+    )
+    from graphsage_tpu.ops.gather import pad_feature_dim
+    from graphsage_tpu.parallel.dp import make_supervised_train_step
+    from graphsage_tpu.parallel.graph_sharded import (
+        embeds_to_canonical,
+    )
+
+    g = toy_graph
+    adj, _, _ = build_both_adjs(g, max_degree=8)
+    feats = pad_feature_dim(g.padded_features())
+    sage = SAGEConfig(
+        layers=(LayerInfo(4, 8), LayerInfo(3, 8)),
+        feature_dim=g.padded_features().shape[1],
+        aggregator="mean",
+        sampler_mode="first_k",
+        fused_gather=True,
+        identity_dim=4,
+        num_nodes=g.num_nodes,
+    )
+    sup = SupervisedConfig(sage=sage, num_classes=g.num_classes)
+    params = init_supervised_params(jax.random.key(0), sup)
+    optimizer = make_optimizer(0.05)
+    B = 16
+    ids = np.arange(B, dtype=np.int32)
+    labels = g.labels[ids]
+    mask = np.ones(B, dtype=np.float32)
+    rng = jax.random.key(7)
+
+    single = make_supervised_train_step(sup, optimizer)
+    p1, _, loss1, _ = jax.jit(single)(
+        jax.tree.map(jnp.copy, params), optimizer.init(params), rng,
+        jnp.asarray(feats), jnp.asarray(adj),
+        jnp.asarray(ids), jnp.asarray(labels), jnp.asarray(mask),
+    )
+
+    feat_sh, _ = shard_rows(feats, D)
+    adj_sh, _ = shard_rows(adj, D)
+    p2_init = dict(params)
+    p2_init["embeds"] = jnp.asarray(
+        shard_rows(np.asarray(params["embeds"]), D)[0]
+    )
+    o2 = optimizer.init(p2_init)
+    step = make_sharded_supervised_step(
+        sup, optimizer, mesh, capacity_factor=8.0,
+        params_like=p2_init, opt_state_like=o2,
+    )
+    p2, _, loss2, _, dropped = step(
+        jax.tree.map(jnp.copy, p2_init), o2, rng,
+        jnp.asarray(feat_sh), jnp.asarray(adj_sh),
+        jnp.asarray(ids), jnp.asarray(labels), jnp.asarray(mask),
+    )
+    assert int(dropped) == 0
+    np.testing.assert_allclose(float(loss2), float(loss1), rtol=1e-5)
+    p2 = embeds_to_canonical(p2, D, "strided")
+    n_embed_rows = np.asarray(p1["embeds"]).shape[0]
+    np.testing.assert_allclose(
+        np.asarray(p2["embeds"])[:n_embed_rows], np.asarray(p1["embeds"]),
+        rtol=2e-4, atol=1e-6,
+    )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6
+        ),
+        {k: v for k, v in p2.items() if k != "embeds"},
+        {k: v for k, v in p1.items() if k != "embeds"},
+    )

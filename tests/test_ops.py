@@ -52,11 +52,15 @@ def test_fused_gather_mean_bf16_input(np_rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-2)
 
 
-@pytest.mark.parametrize("aggregator", ["mean", "gcn"])
-def test_sage_embed_fused_matches_unfused(toy_graph, aggregator):
+@pytest.mark.parametrize("aggregator,identity_dim",
+                         [("mean", 0), ("gcn", 0), ("mean", 4)])
+def test_sage_embed_fused_matches_unfused(toy_graph, aggregator,
+                                          identity_dim):
     """The model-level fast path is numerically identical to the default
     path when sampling indices agree (same rng, dropout=0). gcn rides
-    the same kernel via the (S*mean + self)/(S+1) recombination."""
+    the same kernel via the (S*mean + self)/(S+1) recombination;
+    identity_dim splits the trainable identity columns onto the
+    differentiable XLA take."""
     import dataclasses
 
     from graphsage_tpu.data.adjacency import build_both_adjs
@@ -76,6 +80,8 @@ def test_sage_embed_fused_matches_unfused(toy_graph, aggregator):
         feature_dim=feats.shape[1],
         aggregator=aggregator,
         concat=aggregator != "gcn",
+        identity_dim=identity_dim,
+        num_nodes=g.num_nodes,
     )
     params = init_sage_params(jax.random.key(0), config)
     ids = jnp.arange(16, dtype=jnp.int32)
