@@ -1311,3 +1311,27 @@ def test_multi_shard_fused_identity_matches_plain(mesh, toy_graph):
         {k: v for k, v in p2.items() if k != "embeds"},
         {k: v for k, v in p1.items() if k != "embeds"},
     )
+
+
+def test_composed_checkpoint_resumes_on_1d_mesh(tmp_path, toy_graph):
+    """A checkpoint written under the composed (2, 4) data x graph mesh
+    (canonical-order embeds) restores into a plain 8-shard 1-D run and
+    training continues — mesh shape and shard count both change."""
+    from graphsage_tpu.train.config import TrainFlags
+    from graphsage_tpu.train.supervised import train
+
+    base = dict(
+        train_prefix=str(tmp_path / "synth"),
+        epochs=1, batch_size=16, samples_1=4, samples_2=3,
+        dim_1=8, dim_2=8, max_degree=8, validate_iter=1000,
+        validate_batch_size=8, print_every=1000,
+        base_log_dir=str(tmp_path), seed=123, identity_dim=4,
+        checkpoint_dir=str(tmp_path / "ckpt"), checkpoint_every=2,
+    )
+    r1 = train(TrainFlags(**base, graph_shards=4, data_shards=2,
+                          max_total_steps=4), graph=toy_graph)
+    assert r1["steps"] >= 4
+    r2 = train(TrainFlags(**base, graph_shards=8, max_total_steps=8,
+                          resume=True), graph=toy_graph)
+    assert np.isfinite(r2["val_loss"])
+    assert r2["steps"] > r1["steps"]
