@@ -1,0 +1,75 @@
+"""One guarded device op: is the TPU grant usable right now?
+
+The axon tunnel holds a device grant for ~15-25 min after any
+TPU-attached process dies mid-execution (CLAUDE.md hazard), and every
+device op meanwhile hangs indefinitely. Run this BEFORE committing a
+long timeout budget to a hardware run:
+
+    python benchmarks/tpu_probe.py            # default 150s watchdog
+    python benchmarks/tpu_probe.py --timeout 60
+
+Prints one JSON line {"tpu": "ok"|"wedged"|"error", ...} and exits
+0 / 3 / 4. A cold probe includes one remote compile (60-100s — the
+persistent cache makes later probes ~1s), so keep the watchdog above
+that unless the cache is known-warm.
+
+CAVEAT (benchmarks/KERNEL_NOTES.md, TODO.md): a probe that TIMES OUT
+leaves its op in flight on the tunnel and can EXTEND the wedge — after
+a "wedged" result, wait the full ~25 min with ZERO device ops (no
+jax.devices() on the axon platform either) before retrying.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import threading
+import time
+
+
+def main() -> int:
+    timeout_s = 150.0
+    if "--timeout" in sys.argv:
+        timeout_s = float(sys.argv[sys.argv.index("--timeout") + 1])
+
+    import jax
+    import jax.numpy as jnp
+
+    import graphsage_tpu.train  # noqa: F401  (persistent compile cache)
+
+    t0 = time.time()
+    done = threading.Event()
+    result: dict = {}
+
+    def probe():
+        try:
+            result["value"] = float(jnp.ones(()) * 2.0)  # fetch = barrier
+        except Exception as e:  # noqa: BLE001 — report, don't crash
+            result["exc"] = f"{type(e).__name__}: {e}"
+        done.set()
+
+    threading.Thread(target=probe, daemon=True).start()
+    if not done.wait(timeout_s):
+        print(json.dumps({
+            "tpu": "wedged",
+            "waited_s": round(time.time() - t0, 1),
+            "hint": "grant held by a previously killed process; wait "
+                    "~25 min with ZERO device ops before retrying "
+                    "(this probe itself extended the lease)",
+        }), flush=True)
+        os._exit(3)
+    if "exc" in result:
+        print(json.dumps({"tpu": "error", "error": result["exc"]}),
+              flush=True)
+        return 4
+    print(json.dumps({
+        "tpu": "ok",
+        "platform": jax.devices()[0].platform,
+        "probe_s": round(time.time() - t0, 1),
+    }), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
