@@ -128,7 +128,7 @@ def build(fused: bool = True, dist: str = "zipf"):
         return params, opt_state, loss
 
     return (jax.jit(step, donate_argnums=(0, 1)), params, opt_state,
-            features, adj, ids, labels, mask)
+            features, adj, ids, labels, mask, config)
 
 
 def measured_baseline():
@@ -145,40 +145,51 @@ def measured_baseline():
 
 
 def preflight(timeout_s: float = 150.0):
-    """Fail fast if the TPU grant is wedged.
+    """Fail fast if the TPU grant is wedged (or the tunnel errors).
 
     Killing a TPU-attached process mid-execution holds the device grant
     for ~15-25 min (CLAUDE.md hazard); every device op then hangs until
-    the lease expires. Probe with one trivial op under a watchdog so a
-    wedge surfaces as an immediate diagnostic instead of a silent hang
-    that eats the caller's whole timeout budget. The watchdog must sit
-    ABOVE the 60-100s cold remote-compile latency (importing
-    graphsage_tpu.train first enables the persistent compile cache, so
-    a warm probe is ~1s); the error JSON goes to STDOUT — the
+    the lease expires. benchmarks/tpu_probe.py::guarded_probe runs one
+    trivial op under a watchdog so a wedge surfaces as an immediate
+    diagnostic instead of a silent hang that eats the caller's whole
+    timeout budget; a RAISED op is reported as a tunnel error, not a
+    wedge (no lease wait needed). The watchdog must sit ABOVE the
+    60-100s cold remote-compile latency (the probe imports
+    graphsage_tpu.train first to enable the persistent compile cache,
+    so a warm probe is ~1s); the error JSON goes to STDOUT — the
     documented invocation discards stderr, and the one-JSON-line
-    contract should hold on the failure path too."""
-    import threading
+    contract should hold on the failure path too. The failure payload
+    embeds the last committed measurement (benchmarks/BENCH_LAST.json,
+    written on every successful run) so a transient wedge at
+    measurement time is distinguishable from a perf regression."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    if here not in sys.path:
+        sys.path.insert(0, here)
+    from benchmarks.tpu_probe import guarded_probe
 
-    import graphsage_tpu.train  # noqa: F401  (persistent compile cache)
-
-    done = threading.Event()
-
-    def probe():
-        float(jnp.ones(()) * 2.0)  # device->host fetch = real barrier
-        done.set()
-
-    t = threading.Thread(target=probe, daemon=True)
-    t.start()
-    if not done.wait(timeout_s):
-        print(json.dumps({
-            "metric": "supervised_train_edges_per_sec",
-            "value": 0.0,
-            "unit": "edges/s/chip",
-            "error": f"preflight device op hung >{timeout_s:.0f}s: TPU "
-                     "grant likely wedged by a previously killed "
-                     "process; retry after the ~15-25 min lease expires",
-        }), flush=True)
-        os._exit(3)
+    res = guarded_probe(timeout_s)
+    if res["status"] == "ok":
+        return
+    if res["status"] == "wedged":
+        err = (f"preflight device op hung >{timeout_s:.0f}s: TPU grant "
+               "likely wedged by a previously killed process; retry "
+               "after the ~15-25 min lease expires")
+    else:
+        err = f"preflight device op raised (not a wedge): {res['error']}"
+    payload = {
+        "metric": "supervised_train_edges_per_sec",
+        "value": 0.0,
+        "unit": "edges/s/chip",
+        "error": err,
+    }
+    try:
+        with open(os.path.join(here, "benchmarks",
+                               "BENCH_LAST.json")) as fp:
+            payload["last_measured"] = json.load(fp)
+    except (OSError, ValueError):
+        pass
+    print(json.dumps(payload), flush=True)
+    os._exit(3 if res["status"] == "wedged" else 4)
 
 
 def main():
@@ -186,9 +197,8 @@ def main():
         "uniform" in sys.argv
     ) else "zipf"
     preflight()
-    step, params, opt_state, features, adj, ids, labels, mask = build(
-        dist=dist
-    )
+    (step, params, opt_state, features, adj, ids, labels, mask,
+     sup) = build(dist=dist)
     key = jax.random.key(1)
 
     for i in range(WARMUP):
@@ -222,25 +232,14 @@ def main():
     # overlap step k+1's params-independent sampling+gather DMA issues
     # with step k's backward/Adam tail — measured ~20% faster than
     # per-step dispatch of the identical step program.
-    from graphsage_tpu.models.graphsage import LayerInfo, SAGEConfig
     from graphsage_tpu.models.supervised import (
-        SupervisedConfig,
         init_supervised_params,
         make_optimizer,
     )
     from graphsage_tpu.parallel.dp import make_supervised_chunk_runner
 
-    sage = SAGEConfig(
-        layers=(LayerInfo(FANOUTS[0], DIMS[0]),
-                LayerInfo(FANOUTS[1], DIMS[1])),
-        feature_dim=FEAT_DIM,  # the forward slices the lane-padded table
-        aggregator="mean",
-        concat=True,
-        fused_gather=True,
-        num_nodes=NUM_NODES,
-    )
-    sup = SupervisedConfig(sage=sage, num_classes=NUM_CLASSES,
-                           sigmoid_loss=False, weight_decay=0.0)
+    # same `sup` config as the dispatch-mode section (returned by
+    # build()) — the two timed sections must measure the same program
     rng_np = np.random.default_rng(3)
     cparams = init_supervised_params(jax.random.key(0), sup)
     optimizer = make_optimizer(1e-2)
@@ -296,7 +295,7 @@ def main():
     inner_rows = BATCH * FANOUTS[1] * FANOUTS[0]
     wall_frac = inner_rows / sec_per_step / ROW_DMA_WALL_PER_S
 
-    print(json.dumps({
+    result = {
         "metric": "supervised_train_edges_per_sec",
         "value": round(edges_per_sec, 1),
         "unit": "edges/s/chip",
@@ -308,7 +307,20 @@ def main():
         "sec_per_step_dispatch": round(sec_per_step_dispatch, 6),
         "roofline_frac": round(roofline_frac, 4),
         "wall_frac": round(wall_frac, 4),
-    }))
+    }
+    print(json.dumps(result))
+    if dist == "zipf":  # the headline config; keep the committed record
+        try:
+            with open(os.path.join(os.path.dirname(__file__) or ".",
+                                   "benchmarks", "BENCH_LAST.json"),
+                      "w") as fp:
+                json.dump({**result,
+                           "recorded_utc": time.strftime(
+                               "%Y-%m-%dT%H:%M:%SZ", time.gmtime())},
+                          fp, indent=1)
+                fp.write("\n")
+        except OSError:
+            pass
 
 
 if __name__ == "__main__":

@@ -28,11 +28,16 @@ import threading
 import time
 
 
-def main() -> int:
-    timeout_s = 150.0
-    if "--timeout" in sys.argv:
-        timeout_s = float(sys.argv[sys.argv.index("--timeout") + 1])
+def guarded_probe(timeout_s: float = 150.0) -> dict:
+    """One watchdogged device op; classify the grant state.
 
+    Returns ``{"status": "ok", "platform", "probe_s"}``,
+    ``{"status": "wedged", "waited_s"}`` (the op is still in flight —
+    the probe itself extends the lease), or
+    ``{"status": "error", "error"}`` (the op RAISED — tunnel/compile
+    failure, not a wedge; no lease wait needed). Shared by bench.py's
+    preflight so wedge-handling fixes land in one place.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -51,23 +56,43 @@ def main() -> int:
 
     threading.Thread(target=probe, daemon=True).start()
     if not done.wait(timeout_s):
+        return {"status": "wedged", "waited_s": round(time.time() - t0, 1)}
+    if "exc" in result:
+        return {"status": "error", "error": result["exc"]}
+    return {
+        "status": "ok",
+        "platform": jax.devices()[0].platform,
+        "probe_s": round(time.time() - t0, 1),
+    }
+
+
+def main() -> int:
+    timeout_s = 150.0
+    if "--timeout" in sys.argv:
+        i = sys.argv.index("--timeout") + 1
+        if i >= len(sys.argv):
+            print(json.dumps({"tpu": "error",
+                              "error": "--timeout requires a value"}),
+                  flush=True)
+            return 4
+        timeout_s = float(sys.argv[i])
+
+    res = guarded_probe(timeout_s)
+    if res["status"] == "wedged":
         print(json.dumps({
             "tpu": "wedged",
-            "waited_s": round(time.time() - t0, 1),
+            "waited_s": res["waited_s"],
             "hint": "grant held by a previously killed process; wait "
                     "~25 min with ZERO device ops before retrying "
                     "(this probe itself extended the lease)",
         }), flush=True)
         os._exit(3)
-    if "exc" in result:
-        print(json.dumps({"tpu": "error", "error": result["exc"]}),
+    if res["status"] == "error":
+        print(json.dumps({"tpu": "error", "error": res["error"]}),
               flush=True)
         return 4
-    print(json.dumps({
-        "tpu": "ok",
-        "platform": jax.devices()[0].platform,
-        "probe_s": round(time.time() - t0, 1),
-    }), flush=True)
+    print(json.dumps({"tpu": "ok", "platform": res["platform"],
+                      "probe_s": res["probe_s"]}), flush=True)
     return 0
 
 

@@ -41,6 +41,10 @@ class GraphData:
     # the on-disk table when ``features`` itself was not materialized.
     feat_rows: np.ndarray | None = None
     feature_meta: tuple | None = None
+    # the normalize intent load_data was called with — deferred loaders
+    # default to it, so a load_data(normalize=False, load_features=False)
+    # table is not silently standardized at materialization time
+    feature_normalize: bool = True
 
     @property
     def num_nodes(self) -> int:

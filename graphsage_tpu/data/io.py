@@ -205,6 +205,7 @@ def load_data(
         walks=walks,
         feat_rows=feat_rows,
         feature_meta=feature_meta,
+        feature_normalize=normalize,
     )
 
 
@@ -254,7 +255,7 @@ def load_feature_shard(
     graph: GraphData,
     lo: int,
     hi: int,
-    normalize: bool = True,
+    normalize: bool | None = None,
     stats=None,
     dtype=np.float32,
     chunk: int = 65536,
@@ -264,8 +265,10 @@ def load_feature_shard(
 
     Row indices follow the device layout: row i < num_nodes is node i's
     (standardized) features; rows >= num_nodes (the dummy node and any
-    shard padding) are zero. Peak memory is O(hi - lo + chunk) rows —
-    never the full table. Requires ``load_data(load_features=False)``.
+    shard padding) are zero. ``normalize=None`` keeps the intent
+    load_data was called with (``graph.feature_normalize``). Peak memory
+    is O(hi - lo + chunk) rows — never the full table. Requires
+    ``load_data(load_features=False)``.
     """
     return load_feature_rows(
         graph, np.arange(lo, hi), normalize=normalize, stats=stats,
@@ -276,7 +279,7 @@ def load_feature_shard(
 def load_feature_rows(
     graph: GraphData,
     node_ids: np.ndarray,
-    normalize: bool = True,
+    normalize: bool | None = None,
     stats=None,
     dtype=np.float32,
     chunk: int = 65536,
@@ -285,16 +288,20 @@ def load_feature_rows(
     ONLY those rows from the deferred on-disk table (mmap fancy-index).
 
     Ids >= num_nodes (the dummy node and shard padding) yield zero rows.
-    Non-contiguous id sets are how strided-layout shards load (each host
-    owns rows ``d::n_shards`` — parallel/graph_sharded.py::shard_rows);
-    peak memory is O(len(node_ids) + chunk) rows, never the full table.
-    Requires ``load_data(load_features=False)``.
+    ``normalize=None`` keeps the intent load_data was called with
+    (``graph.feature_normalize``). Non-contiguous id sets are how
+    strided-layout shards load (each host owns rows ``d::n_shards`` —
+    parallel/graph_sharded.py::shard_rows); peak memory is
+    O(len(node_ids) + chunk) rows, never the full table. Requires
+    ``load_data(load_features=False)``.
     """
     if graph.feature_meta is None:
         raise ValueError(
             "load_feature_rows needs a deferred feature table — load the "
             "graph with load_data(..., load_features=False)"
         )
+    if normalize is None:
+        normalize = graph.feature_normalize
     path, _, F = graph.feature_meta
     mm = np.load(path, mmap_mode="r")
     n = graph.num_nodes

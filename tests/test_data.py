@@ -299,6 +299,34 @@ def test_materialize_features_copies_and_load_rows_strided(
     np.testing.assert_allclose(rows, padded[ids], rtol=1e-5, atol=1e-5)
 
 
+def test_deferred_load_honors_normalize_false(tmp_path, toy_graph):
+    """load_data(normalize=False, load_features=False) must NOT be
+    standardized at materialization time: the deferred loaders default
+    to the normalize intent recorded on the graph (review finding —
+    they used to unconditionally re-standardize)."""
+    from graphsage_tpu.data.io import (
+        load_feature_rows,
+        materialize_features,
+    )
+
+    prefix = str(tmp_path / "toy")
+    write_dataset(toy_graph, prefix)
+    raw_eager = load_data(prefix, normalize=False)
+    lazy_raw = load_data(prefix, normalize=False, load_features=False)
+
+    mat = materialize_features(lazy_raw)
+    np.testing.assert_allclose(mat.features, raw_eager.features,
+                               rtol=1e-6, atol=1e-6)
+
+    ids = np.array([0, 5, 2], dtype=np.int64)
+    rows = load_feature_rows(lazy_raw, ids)
+    np.testing.assert_allclose(rows, raw_eager.features[ids],
+                               rtol=1e-6, atol=1e-6)
+    # an explicit override still standardizes
+    rows_norm = load_feature_rows(lazy_raw, ids, normalize=True)
+    assert not np.allclose(rows_norm, rows)
+
+
 def test_put_global_rows_loads_only_local_ranges(toy_graph, tmp_path):
     """put_global_rows materializes exactly the addressable row ranges
     and the assembled global equals a put_global of the full table."""
