@@ -205,7 +205,7 @@ def exchange_gather(local, idx, axis_name: str, capacity: int,
 
     counts = jax.ops.segment_sum(
         jnp.ones((m,), jnp.int32), owner, num_segments=D + 1
-    )[: D + 1]
+    )
     starts = jnp.cumsum(counts) - counts
     rank = jnp.arange(m, dtype=jnp.int32) - starts[sorted_owner]
     remote = sorted_owner < D
@@ -229,7 +229,11 @@ def exchange_gather(local, idx, axis_name: str, capacity: int,
         jnp.clip(sorted_owner, 0, D - 1), jnp.clip(rank, 0, capacity - 1)
     ]
     gathered = jnp.where(valid.reshape(bshape), gathered, 0)
-    inv = jnp.argsort(order)
+    # invert the permutation with one O(m) scatter — a second argsort
+    # would be another full device sort on the hot halo-exchange path
+    inv = jnp.zeros((m,), jnp.int32).at[order].set(
+        jnp.arange(m, dtype=jnp.int32)
+    )
     out = gathered[inv]
     if split_local and not remote_only:
         out = jnp.where(is_local.reshape(bshape), local_rows, out)
@@ -323,6 +327,20 @@ def _psum_except_embeds(grads, axis_name, data_axis: str | None = None):
     )
 
 
+def _fold_shard(rng, axis_name, data_axis: str | None = None):
+    """Per-shard RNG stream: fold the (composed, data-major) device index
+    so dropout masks and independent-sampler draws differ across shards —
+    the dp.py convention; a replicated rng would repeat one mask pattern
+    across every shard's batch slice. Deterministic paths (first_k
+    sampler, dropout=0) never consume rng, preserving the P2 bit-parity
+    invariant."""
+    me = jax.lax.axis_index(axis_name)
+    if data_axis:
+        me = (jax.lax.axis_index(data_axis)
+              * jax.lax.axis_size(axis_name) + me)
+    return jax.random.fold_in(rng, me)
+
+
 def sharded_sage_embed(
     params,
     feat_local,
@@ -353,7 +371,12 @@ def sharded_sage_embed(
       overlap as plain local gathers.
     - ``"blocking"`` reproduces the round-2 schedule (all expansions,
       then all feature gathers, every row through the all-to-all) for
-      A/B probes.
+      A/B probes. Note the fused inner hop is gated by
+      ``config.fused_gather``, NOT by ``halo`` — with fused_gather=True
+      at D>1 the innermost hop still serves local rows off the local
+      shard under either schedule; pass fused_gather=False (the
+      default, what benchmarks/halo_probe.py uses) for a faithful
+      schedule-only A/B.
 
     With ``identity_dim > 0`` the trainable table lives row-sharded in
     ``params["embeds"]`` (local shard per device); its gather runs through
@@ -596,8 +619,8 @@ def make_sharded_supervised_step(
         )
         (loss, (logits, dropped)), grads = jax.value_and_grad(
             local_loss, has_aux=True
-        )(params, feat_local, adj_local, ids, labels, mask, rng,
-          global_mask_sum)
+        )(params, feat_local, adj_local, ids, labels, mask,
+          _fold_shard(rng, axis_name, data_axis), global_mask_sum)
         loss = jax.lax.psum(loss, red)
         dropped = jax.lax.psum(dropped, red)
         grads = _psum_except_embeds(grads, axis_name, data_axis)
@@ -722,7 +745,11 @@ def make_sharded_supervised_chunk_runner(
             global_mask_sum = jnp.maximum(
                 jax.lax.psum(jnp.sum(mask), red), 1.0
             )
-            step_rng = jax.random.fold_in(rng, step_idx)
+            # fold step AND composed shard index (dp.py convention) so
+            # shards do not repeat one dropout/sampler pattern
+            step_rng = jax.random.fold_in(
+                jax.random.fold_in(rng, step_idx), me
+            )
             (loss, (logits, dropped)), grads = jax.value_and_grad(
                 local_loss, has_aux=True
             )(params, feat_local, adj_local, batch_ids, labels, mask,
