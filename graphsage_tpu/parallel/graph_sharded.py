@@ -341,6 +341,73 @@ def _fold_shard(rng, axis_name, data_axis: str | None = None):
     return jax.random.fold_in(rng, me)
 
 
+def _sup_per_node_xent(sup_config, params, feat_local, adj_local, ids,
+                       labels, rng, axis_name, capacity_factor,
+                       deterministic):
+    """Per-node masked-xent building block shared by every sharded
+    supervised path (step, chunk runner, eval, eval sweep): embed →
+    l2-normalize → dense head → per-node xent (sigmoid xents divided by
+    num_classes, reference supervised_models.py loss). One body so a
+    semantics fix cannot silently miss a copy.
+
+    Returns (per_node [b], logits [b, C], dropped scalar)."""
+    from graphsage_tpu.models.graphsage import l2_normalize
+    from graphsage_tpu.models.supervised import (
+        _sigmoid_xent,
+        _softmax_xent,
+    )
+    from graphsage_tpu.nn.dense import apply_dense
+
+    emb, dropped = sharded_sage_embed(
+        params, feat_local, adj_local, ids, rng, sup_config.sage,
+        axis_name, capacity_factor, deterministic=deterministic,
+        return_stats=True,
+    )
+    emb = l2_normalize(emb, axis=1)
+    logits = apply_dense(params["head"], emb, act=None)
+    if sup_config.sigmoid_loss:
+        per_node = _sigmoid_xent(logits, labels) / sup_config.num_classes
+    else:
+        per_node = _softmax_xent(logits, labels)
+    return per_node, logits, dropped
+
+
+def _decay_term(params, sage_config, weight_decay, axis_name,
+                data_axis: str | None = None, head: bool = False):
+    """Weight-decay loss term on the sharded paths. The decay is
+    replicated work, so it divides by the TOTAL shard count — the psum
+    of shard losses/grads then reproduces the single-device value.
+    ``head=True`` adds the supervised head (w, b) like the reference's
+    supervised model."""
+    if weight_decay <= 0.0:
+        return 0.0
+    from graphsage_tpu.models.graphsage import sage_decay_weights
+
+    decayed = sage_decay_weights(params, sage_config)
+    if head:
+        decayed = decayed + [params["head"]["w"], params["head"]["b"]]
+    D = jax.lax.axis_size(axis_name)
+    if data_axis:
+        D = D * jax.lax.axis_size(data_axis)
+    return weight_decay * sum(0.5 * jnp.sum(w * w) for w in decayed) / D
+
+
+def _unsup_pair_metrics(out1, out2, neg, mask, unsup_config):
+    """(raw skip-gram loss, per-shard masked-mean MRR) from the three
+    l2-normalized towers — the body shared by the unsupervised sharded
+    step, chunk runner, eval, and eval sweep."""
+    from graphsage_tpu.nn import prediction
+
+    raw = prediction.edge_pred_loss(
+        out1, out2, neg, loss_fn=unsup_config.loss_fn, mask=mask,
+        neg_sample_weights=unsup_config.neg_sample_weights,
+    )
+    aff = prediction.affinity(out1, out2)
+    neg_aff = prediction.neg_cost(out1, neg)
+    _, mrr = prediction.mrr_and_ranks(aff, neg_aff, mask)
+    return raw, mrr
+
+
 def sharded_sage_embed(
     params,
     feat_local,
@@ -570,44 +637,20 @@ def make_sharded_supervised_step(
     halo exchanges stay scoped to the graph axis of each slice, and
     loss/grad reductions run over both axes.
     """
-    from graphsage_tpu.models.supervised import (
-        _sigmoid_xent,
-        _softmax_xent,
-    )
-    from graphsage_tpu.models.graphsage import l2_normalize
     from graphsage_tpu.models.supervised import supervised_predict
-    from graphsage_tpu.nn.dense import apply_dense
 
     config = sup_config.sage
 
     def local_loss(params, feat_local, adj_local, ids, labels, mask, rng,
                    global_mask_sum):
-        emb, dropped = sharded_sage_embed(
-            params, feat_local, adj_local, ids, rng, config, axis_name,
-            capacity_factor,
-            deterministic=config.dropout == 0.0, return_stats=True,
+        per_node, logits, dropped = _sup_per_node_xent(
+            sup_config, params, feat_local, adj_local, ids, labels, rng,
+            axis_name, capacity_factor,
+            deterministic=config.dropout == 0.0,
         )
-        emb = l2_normalize(emb, axis=1)
-        logits = apply_dense(params["head"], emb, act=None)
-        if sup_config.sigmoid_loss:
-            per_node = _sigmoid_xent(logits, labels) / sup_config.num_classes
-        else:
-            per_node = _softmax_xent(logits, labels)
         loss = jnp.sum(per_node * mask) / global_mask_sum
-        if sup_config.weight_decay > 0.0:
-            from graphsage_tpu.models.graphsage import sage_decay_weights
-
-            decayed = sage_decay_weights(params, config)
-            decayed += [params["head"]["w"], params["head"]["b"]]
-            # weight decay is replicated work; divide by the total shard
-            # count so the psum of shard losses/grads reproduces the
-            # single-device value
-            D = jax.lax.axis_size(axis_name)
-            if data_axis:
-                D = D * jax.lax.axis_size(data_axis)
-            loss = loss + sup_config.weight_decay * sum(
-                0.5 * jnp.sum(w * w) for w in decayed
-            ) / D
+        loss = loss + _decay_term(params, config, sup_config.weight_decay,
+                                  axis_name, data_axis, head=True)
         return loss, (logits, dropped)
 
     red = (data_axis, axis_name) if data_axis else axis_name
@@ -681,44 +724,21 @@ def make_sharded_supervised_chunk_runner(
     make_sharded_supervised_step. The batch splits over data x graph;
     exchanges stay within each slice's graph axis.
     """
-    from graphsage_tpu.models.graphsage import l2_normalize
-    from graphsage_tpu.models.supervised import (
-        _sigmoid_xent,
-        _softmax_xent,
-        supervised_predict,
-    )
-    from graphsage_tpu.nn.dense import apply_dense
+    from graphsage_tpu.models.supervised import supervised_predict
 
     config = sup_config.sage
     num_nodes = config.num_nodes
 
     def local_loss(params, feat_local, adj_local, ids, labels, mask, rng,
                    global_mask_sum):
-        emb, dropped = sharded_sage_embed(
-            params, feat_local, adj_local, ids, rng, config, axis_name,
-            capacity_factor, deterministic=config.dropout == 0.0,
-            return_stats=True,
+        per_node, logits, dropped = _sup_per_node_xent(
+            sup_config, params, feat_local, adj_local, ids, labels, rng,
+            axis_name, capacity_factor,
+            deterministic=config.dropout == 0.0,
         )
-        emb = l2_normalize(emb, axis=1)
-        logits = apply_dense(params["head"], emb, act=None)
-        if sup_config.sigmoid_loss:
-            per_node = _sigmoid_xent(logits, labels) / sup_config.num_classes
-        else:
-            per_node = _softmax_xent(logits, labels)
         loss = jnp.sum(per_node * mask) / global_mask_sum
-        if sup_config.weight_decay > 0.0:
-            from graphsage_tpu.models.graphsage import sage_decay_weights
-
-            decayed = sage_decay_weights(params, config)
-            decayed += [params["head"]["w"], params["head"]["b"]]
-            # replicated work: /total-shards so the psum of shard
-            # losses/grads reproduces the single-device value
-            D = jax.lax.axis_size(axis_name)
-            if data_axis:
-                D = D * jax.lax.axis_size(data_axis)
-            loss = loss + sup_config.weight_decay * sum(
-                0.5 * jnp.sum(w * w) for w in decayed
-            ) / D
+        loss = loss + _decay_term(params, config, sup_config.weight_decay,
+                                  axis_name, data_axis, head=True)
         return loss, (logits, dropped)
 
     red = (data_axis, axis_name) if data_axis else axis_name
@@ -810,27 +830,15 @@ def make_sharded_supervised_eval(
     """Sharded-table eval: (loss, preds) without an optimizer update —
     the counterpart of train/supervised.make_eval_step for --graph_shards
     runs where the full-graph tables are also row-sharded."""
-    from graphsage_tpu.models.graphsage import l2_normalize
-    from graphsage_tpu.models.supervised import (
-        _sigmoid_xent,
-        _softmax_xent,
-        supervised_predict,
-    )
-    from graphsage_tpu.nn.dense import apply_dense
+    from graphsage_tpu.models.supervised import supervised_predict
 
     config = sup_config.sage
 
     def eval_fn(params, feat_local, adj_local, ids, labels, mask, rng):
-        emb, dropped = sharded_sage_embed(
-            params, feat_local, adj_local, ids, rng, config, axis_name,
-            capacity_factor, deterministic=True, return_stats=True,
+        per_node, logits, dropped = _sup_per_node_xent(
+            sup_config, params, feat_local, adj_local, ids, labels, rng,
+            axis_name, capacity_factor, deterministic=True,
         )
-        emb = l2_normalize(emb, axis=1)
-        logits = apply_dense(params["head"], emb, act=None)
-        if sup_config.sigmoid_loss:
-            per_node = _sigmoid_xent(logits, labels) / sup_config.num_classes
-        else:
-            per_node = _softmax_xent(logits, labels)
         denom = jnp.maximum(jax.lax.psum(jnp.sum(mask), axis_name), 1.0)
         loss = jax.lax.psum(jnp.sum(per_node * mask), axis_name) / denom
         return (loss, supervised_predict(logits, sup_config),
@@ -875,7 +883,6 @@ def make_sharded_unsupervised_chunk_runner(
     make_sharded_supervised_step.
     """
     from graphsage_tpu.models.graphsage import l2_normalize
-    from graphsage_tpu.nn import prediction
     from graphsage_tpu.nn.negative import sample_negatives
 
     config = unsup_config.sage
@@ -909,26 +916,11 @@ def make_sharded_unsupervised_chunk_runner(
             o1 = l2_normalize(out[:lb], 1)
             o2 = l2_normalize(out[lb:2 * lb], 1)
             neg = l2_normalize(out[2 * lb:], 1)
-            raw = prediction.edge_pred_loss(
-                o1, o2, neg, loss_fn=unsup_config.loss_fn, mask=mask,
-                neg_sample_weights=unsup_config.neg_sample_weights,
-            )
+            raw, mrr = _unsup_pair_metrics(o1, o2, neg, mask, unsup_config)
             loss = raw / global_mask_sum
-            if unsup_config.weight_decay > 0.0:
-                from graphsage_tpu.models.graphsage import (
-                    sage_decay_weights,
-                )
-
-                Dw = jax.lax.axis_size(axis_name)
-                if data_axis:
-                    Dw = Dw * jax.lax.axis_size(data_axis)
-                loss = loss + unsup_config.weight_decay * sum(
-                    0.5 * jnp.sum(w * w)
-                    for w in sage_decay_weights(params, config)
-                ) / Dw
-            aff = prediction.affinity(o1, o2)
-            neg_aff = prediction.neg_cost(o1, neg)
-            _, mrr = prediction.mrr_and_ranks(aff, neg_aff, mask)
+            loss = loss + _decay_term(params, config,
+                                      unsup_config.weight_decay,
+                                      axis_name, data_axis)
             return loss, (mrr, dropped)
 
         def one_step(carry, step_idx):
@@ -1033,7 +1025,6 @@ def make_sharded_unsupervised_eval(
 ):
     """Sharded-table (loss, mrr) eval for validation batches."""
     from graphsage_tpu.models.graphsage import l2_normalize
-    from graphsage_tpu.nn import prediction
     from graphsage_tpu.nn.negative import sample_negatives
 
     config = unsup_config.sage
@@ -1058,15 +1049,9 @@ def make_sharded_unsupervised_eval(
             l2_normalize(e1, 1), l2_normalize(e2, 1), l2_normalize(en, 1)
         )
         dropped = jax.lax.psum(d1 + d2 + d3, axis_name)
-        raw = prediction.edge_pred_loss(
-            out1, out2, neg, loss_fn=unsup_config.loss_fn, mask=mask,
-            neg_sample_weights=unsup_config.neg_sample_weights,
-        )
+        raw, mrr = _unsup_pair_metrics(out1, out2, neg, mask, unsup_config)
         denom = jnp.maximum(jax.lax.psum(jnp.sum(mask), axis_name), 1.0)
         loss = jax.lax.psum(raw, axis_name) / denom
-        aff = prediction.affinity(out1, out2)
-        neg_aff = prediction.neg_cost(out1, neg)
-        _, mrr = prediction.mrr_and_ranks(aff, neg_aff, mask)
         return loss, _global_masked_mrr(mrr, mask, axis_name), dropped
 
     rep = P()
@@ -1101,7 +1086,6 @@ def make_sharded_unsupervised_step(
     reference's semantics when batch is sharded).
     """
     from graphsage_tpu.models.graphsage import l2_normalize
-    from graphsage_tpu.nn import prediction
     from graphsage_tpu.nn.negative import sample_negatives
 
     config = unsup_config.sage
@@ -1127,23 +1111,10 @@ def make_sharded_unsupervised_step(
             l2_normalize(e1, 1), l2_normalize(e2, 1), l2_normalize(en, 1)
         )
         dropped = d1 + d2 + d3
-        raw = prediction.edge_pred_loss(
-            out1, out2, neg,
-            loss_fn=unsup_config.loss_fn, mask=mask,
-            neg_sample_weights=unsup_config.neg_sample_weights,
-        )
+        raw, mrr = _unsup_pair_metrics(out1, out2, neg, mask, unsup_config)
         loss = raw / global_mask_sum
-        if unsup_config.weight_decay > 0.0:
-            from graphsage_tpu.models.graphsage import sage_decay_weights
-
-            D = jax.lax.axis_size(axis_name)
-            loss = loss + unsup_config.weight_decay * sum(
-                0.5 * jnp.sum(w * w)
-                for w in sage_decay_weights(params, config)
-            ) / D
-        aff = prediction.affinity(out1, out2)
-        neg_aff = prediction.neg_cost(out1, neg)
-        _, mrr = prediction.mrr_and_ranks(aff, neg_aff, mask)
+        loss = loss + _decay_term(params, config,
+                                  unsup_config.weight_decay, axis_name)
         return loss, (mrr, out1, dropped)
 
     def step(params, opt_state, rng, feat_local, adj_local, b1, b2, mask,
@@ -1207,6 +1178,7 @@ def make_sharded_supervised_eval_sweep(
     axis_name: str = "graph",
     capacity_factor: float = 4.0,
     params_like=None,
+    data_axis: str | None = None,
 ):
     """Whole val/test sweep in ONE dispatch on the graph-sharded path:
     fori_loop over a replicated dummy-padded id stream; each shard
@@ -1214,24 +1186,29 @@ def make_sharded_supervised_eval_sweep(
     train/supervised.make_eval_sweep, reference incremental_evaluate at
     supervised_train.py:91-110).
 
+    ``data_axis``: on a composed (data, graph) mesh the batch splits
+    over BOTH axes (data-major, like the chunk runners) instead of
+    every data slice redundantly evaluating identical batches —
+    ``batch_size`` must divide the total device count.
+
     sweep(params, feat_local, adj_local, ids_all, labels_table, rng)
-    -> (losses [n_b], preds [D*n_b*local_b, C] shard-major (reassemble
-        with reassemble_sharded_rows), dropped)
+    -> (losses [n_b], preds [Dtot*n_b*local_b, C] shard-major
+        (reassemble with reassemble_sharded_rows over the TOTAL shard
+        count), dropped)
     """
-    from graphsage_tpu.models.graphsage import l2_normalize
-    from graphsage_tpu.models.supervised import (
-        _sigmoid_xent,
-        _softmax_xent,
-        supervised_predict,
-    )
-    from graphsage_tpu.nn.dense import apply_dense
+    from graphsage_tpu.models.supervised import supervised_predict
 
     config = sup_config.sage
     num_nodes = config.num_nodes
+    red = (data_axis, axis_name) if data_axis else axis_name
 
     def mapped(params, feat_local, adj_local, ids_all, labels_table, rng):
         D = jax.lax.axis_size(axis_name)
         me = jax.lax.axis_index(axis_name)
+        if data_axis:
+            # device order of P((data, graph)): data-major, graph-minor
+            me = jax.lax.axis_index(data_axis) * D + me
+            D = D * jax.lax.axis_size(data_axis)
         local_b = batch_size // D
         n_b = ids_all.shape[0] // batch_size
 
@@ -1242,27 +1219,19 @@ def make_sharded_supervised_eval_sweep(
             )
             labels = jnp.take(labels_table, ids, axis=0)
             mask = (ids != num_nodes).astype(jnp.float32)
-            emb, dropped = sharded_sage_embed(
-                params, feat_local, adj_local, ids, rng, config,
-                axis_name, capacity_factor, deterministic=True,
-                return_stats=True,
+            per_node, logits, dropped = _sup_per_node_xent(
+                sup_config, params, feat_local, adj_local, ids, labels,
+                rng, axis_name, capacity_factor, deterministic=True,
             )
-            emb = l2_normalize(emb, axis=1)
-            logits = apply_dense(params["head"], emb, act=None)
-            if sup_config.sigmoid_loss:
-                per_node = (_sigmoid_xent(logits, labels)
-                            / sup_config.num_classes)
-            else:
-                per_node = _softmax_xent(logits, labels)
             denom = jnp.maximum(
-                jax.lax.psum(jnp.sum(mask), axis_name), 1.0
+                jax.lax.psum(jnp.sum(mask), red), 1.0
             )
-            loss = jax.lax.psum(jnp.sum(per_node * mask), axis_name) / denom
+            loss = jax.lax.psum(jnp.sum(per_node * mask), red) / denom
             p = supervised_predict(logits, sup_config)
             return (
                 losses.at[i].set(loss),
                 jax.lax.dynamic_update_slice(preds, p, (i * local_b, 0)),
-                dropped_tot + jax.lax.psum(dropped, axis_name),
+                dropped_tot + jax.lax.psum(dropped, red),
             )
 
         init = (
@@ -1274,6 +1243,7 @@ def make_sharded_supervised_eval_sweep(
 
     rep = P()
     sh = P(axis_name)
+    sh_out = P(red) if data_axis else sh  # rows stack data-major
     p_spec = (
         _embeds_spec_tree(params_like, axis_name)
         if config.identity_dim > 0 and params_like is not None else rep
@@ -1282,7 +1252,7 @@ def make_sharded_supervised_eval_sweep(
         mapped,
         mesh=mesh,
         in_specs=(p_spec, sh, sh, rep, rep, rep),
-        out_specs=(rep, sh, rep),
+        out_specs=(rep, sh_out, rep),
         check_rep=False,
     ))
 
@@ -1294,24 +1264,31 @@ def make_sharded_unsup_eval_sweep(
     axis_name: str = "graph",
     capacity_factor: float = 4.0,
     params_like=None,
+    data_axis: str | None = None,
 ):
     """Full val-edge-set (loss, mrr) on the graph-sharded path in ONE
     dispatch (validate_batch_size=-1 semantics; see
-    train/unsupervised.make_unsup_eval_sweep).
+    train/unsupervised.make_unsup_eval_sweep). ``data_axis``: composed
+    (data, graph) mesh — the pair stream splits over both axes instead
+    of every data slice redundantly evaluating identical batches.
 
     sweep(params, feat_local, adj_local, pairs_all [P,2], neg_cdf, rng)
     -> (loss, mrr, dropped) — edge-weighted means over real pairs.
     """
     from graphsage_tpu.models.graphsage import l2_normalize
-    from graphsage_tpu.nn import prediction
     from graphsage_tpu.nn.negative import sample_negatives
 
     config = unsup_config.sage
     num_nodes = config.num_nodes
+    red = (data_axis, axis_name) if data_axis else axis_name
 
     def mapped(params, feat_local, adj_local, pairs_all, neg_cdf, rng):
         D = jax.lax.axis_size(axis_name)
         me = jax.lax.axis_index(axis_name)
+        if data_axis:
+            # device order of P((data, graph)): data-major, graph-minor
+            me = jax.lax.axis_index(data_axis) * D + me
+            D = D * jax.lax.axis_size(data_axis)
         local_b = batch_size // D
         n_b = pairs_all.shape[0] // batch_size
 
@@ -1342,17 +1319,12 @@ def make_sharded_unsup_eval_sweep(
             out1 = l2_normalize(e1, 1)
             out2 = l2_normalize(e2, 1)
             neg = l2_normalize(en, 1)
-            raw = prediction.edge_pred_loss(
-                out1, out2, neg, loss_fn=unsup_config.loss_fn, mask=mask,
-                neg_sample_weights=unsup_config.neg_sample_weights,
-            )
-            k = jax.lax.psum(jnp.sum(mask), axis_name)
-            loss = jax.lax.psum(raw, axis_name)
-            aff = prediction.affinity(out1, out2)
-            neg_aff = prediction.neg_cost(out1, neg)
-            _, mrr = prediction.mrr_and_ranks(aff, neg_aff, mask)
-            mrr = _global_masked_mrr(mrr, mask, axis_name)
-            dropped = jax.lax.psum(d1 + d2 + d3, axis_name)
+            raw, mrr = _unsup_pair_metrics(out1, out2, neg, mask,
+                                           unsup_config)
+            k = jax.lax.psum(jnp.sum(mask), red)
+            loss = jax.lax.psum(raw, red)
+            mrr = _global_masked_mrr(mrr, mask, red)
+            dropped = jax.lax.psum(d1 + d2 + d3, red)
             return (loss_sum + loss, mrr_sum + mrr * k, cnt + k,
                     dropped_tot + dropped)
 
@@ -1386,22 +1358,29 @@ def make_sharded_embed_sweep(
     axis_name: str = "graph",
     capacity_factor: float = 4.0,
     params_like=None,
+    data_axis: str | None = None,
 ):
     """Whole-graph embedding export in ONE dispatch on the graph-sharded
     path (counterpart of save_val_embeddings' per-batch loop, reference
-    unsupervised_train.py:94-117).
+    unsupervised_train.py:94-117). ``data_axis``: composed (data, graph)
+    mesh — the id stream splits over both axes.
 
     sweep(params, feat_local, adj_local, ids_all, rng)
-    -> (embeds [D*n_b*local_b, dim] shard-major (reassemble with
-        reassemble_sharded_rows), dropped)
+    -> (embeds [Dtot*n_b*local_b, dim] shard-major (reassemble with
+        reassemble_sharded_rows over the TOTAL shard count), dropped)
     """
     from graphsage_tpu.models.graphsage import l2_normalize
 
     config = unsup_config.sage
+    red = (data_axis, axis_name) if data_axis else axis_name
 
     def mapped(params, feat_local, adj_local, ids_all, rng):
         D = jax.lax.axis_size(axis_name)
         me = jax.lax.axis_index(axis_name)
+        if data_axis:
+            # device order of P((data, graph)): data-major, graph-minor
+            me = jax.lax.axis_index(data_axis) * D + me
+            D = D * jax.lax.axis_size(data_axis)
         local_b = batch_size // D
         n_b = ids_all.shape[0] // batch_size
 
@@ -1419,7 +1398,7 @@ def make_sharded_embed_sweep(
             return (
                 jax.lax.dynamic_update_slice(out_buf, out,
                                              (i * local_b, 0)),
-                dropped_tot + jax.lax.psum(dropped, axis_name),
+                dropped_tot + jax.lax.psum(dropped, red),
             )
 
         init = (
@@ -1430,6 +1409,7 @@ def make_sharded_embed_sweep(
 
     rep = P()
     sh = P(axis_name)
+    sh_out = P(red) if data_axis else sh  # rows stack data-major
     p_spec = (
         _embeds_spec_tree(params_like, axis_name)
         if config.identity_dim > 0 and params_like is not None else rep
@@ -1438,6 +1418,6 @@ def make_sharded_embed_sweep(
         mapped,
         mesh=mesh,
         in_specs=(p_spec, sh, sh, rep, rep),
-        out_specs=(sh, rep),
+        out_specs=(sh_out, rep),
         check_rep=False,
     ))

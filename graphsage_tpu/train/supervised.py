@@ -549,9 +549,11 @@ def _train_sharded(flags: TrainFlags, graph) -> dict:
     # (data, graph) mesh — graph sharding within each slice, pure DP
     # across slices (parallel/distributed.py::data_graph_mesh shape).
     # Tables are graph-sharded/data-replicated (their P("graph") specs
-    # are unchanged on the 2-D mesh), the train runner splits the batch
-    # over both axes, and the eval sweeps run redundantly per data slice
-    # (their P("graph") batch specs replicate over "data").
+    # are unchanged on the 2-D mesh); the train runner AND the full
+    # val/test sweeps split the batch over both axes (data-major). Only
+    # the per-batch validate_iter eval runs redundantly per data slice —
+    # it is one batch, and keeping it graph-split keeps its val-batch
+    # padding independent of data_shards.
     Dd = max(flags.data_shards, 1)
     total = D * Dd
     assert flags.batch_size % total == 0, (
@@ -659,7 +661,7 @@ def _train_sharded(flags: TrainFlags, graph) -> dict:
 
     eval_sweep = make_sharded_supervised_eval_sweep(
         config, mesh, flags.batch_size, capacity_factor=cap_factor,
-        params_like=params,
+        params_like=params, data_axis="data" if Dd > 1 else None,
     )
 
     def run_eval(nodes):
@@ -674,7 +676,7 @@ def _train_sharded(flags: TrainFlags, graph) -> dict:
             labels_table_dev, eval_key,
         )
         note_dropped(dropped, "eval sweep")
-        preds = reassemble_sharded_rows(preds_sh, D, n_b)[: len(nodes)]
+        preds = reassemble_sharded_rows(preds_sh, D * Dd, n_b)[: len(nodes)]
         labels = graph.labels[nodes]
         return (float(np.mean(np.asarray(losses))), preds, labels,
                 time.time() - t0)

@@ -677,7 +677,7 @@ def _train_sharded(flags: TrainFlags, graph, deg, batcher: EdgeBatcher,
 
         eval_sweep = make_sharded_unsup_eval_sweep(
             config, mesh, B, capacity_factor=cap_factor,
-            params_like=params,
+            params_like=params, data_axis="data" if Dd > 1 else None,
         )
         val_pairs_dev = jnp.asarray(pad_pairs(batcher.val_pairs, B, dummy))
 
@@ -810,7 +810,7 @@ def _train_sharded(flags: TrainFlags, graph, deg, batcher: EdgeBatcher,
 
         embed_sweep = make_sharded_embed_sweep(
             config, mesh, B, capacity_factor=cap_factor,
-            params_like=params,
+            params_like=params, data_axis="data" if Dd > 1 else None,
         )
         n_b = max(1, -(-graph.num_nodes // B))
         ids_all = np.full((n_b * B,), dummy, dtype=np.int32)
@@ -820,7 +820,8 @@ def _train_sharded(flags: TrainFlags, graph, deg, batcher: EdgeBatcher,
             jax.random.key(flags.seed + 2),
         )
         note_dropped(edropped, "embedding export")
-        rows = reassemble_sharded_rows(out_sh, D, n_b)[: graph.num_nodes]
+        rows = reassemble_sharded_rows(out_sh, D * Dd,
+                                       n_b)[: graph.num_nodes]
         os.makedirs(log_dir, exist_ok=True)
         np.save(os.path.join(log_dir, "val.npy"), rows)
         with open(os.path.join(log_dir, "val.txt"), "w") as fp:
