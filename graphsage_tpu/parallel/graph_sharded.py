@@ -341,6 +341,48 @@ def _fold_shard(rng, axis_name, data_axis: str | None = None):
     return jax.random.fold_in(rng, me)
 
 
+def _composed_me(axis_name, data_axis: str | None,
+                 graph_major: bool = False):
+    """(composed shard index, total shard count) on an optionally
+    composed (data, graph) mesh — the ONE place the batch-slicing index
+    composition lives, so an ordering fix cannot silently miss a site.
+
+    Data-major (default, ``d * D_graph + g``) matches the device order
+    of ``P((data, graph))`` row outputs — required wherever per-shard
+    rows are stacked into a sharded output buffer. ``graph_major``
+    (``g * D_data + d``) nests each graph shard's 1-D slice range
+    across the data axis; the scalar-output unsup eval sweep uses it so
+    every pair keeps the graph-shard owner (and negative set) it had on
+    the 1-D mesh."""
+    D = jax.lax.axis_size(axis_name)
+    me = jax.lax.axis_index(axis_name)
+    if data_axis:
+        Dd = jax.lax.axis_size(data_axis)
+        d = jax.lax.axis_index(data_axis)
+        me = (me * Dd + d) if graph_major else (d * D + me)
+        D = D * Dd
+    return me, D
+
+
+def _check_batch_divisible(mesh, batch_size: int, axis_name: str,
+                           data_axis: str | None):
+    """Builder-time guard for every runner/sweep that slices a
+    replicated stream by ``batch_size // total_shards``: a
+    non-divisible batch would silently evaluate only
+    ``total * (batch_size // total)`` of each batch's rows and
+    misalign stacked row outputs against the id stream."""
+    total = mesh.shape[axis_name]
+    if data_axis:
+        total *= mesh.shape[data_axis]
+    if batch_size % total != 0:
+        raise ValueError(
+            f"batch_size {batch_size} must be divisible by the total "
+            f"shard count {total} ({axis_name}={mesh.shape[axis_name]}"
+            + (f" x {data_axis}={mesh.shape[data_axis]}" if data_axis
+               else "") + ")"
+        )
+
+
 def _sup_per_node_xent(sup_config, params, feat_local, adj_local, ids,
                        labels, rng, axis_name, capacity_factor,
                        deterministic):
@@ -742,15 +784,11 @@ def make_sharded_supervised_chunk_runner(
         return loss, (logits, dropped)
 
     red = (data_axis, axis_name) if data_axis else axis_name
+    _check_batch_divisible(mesh, batch_size, axis_name, data_axis)
 
     def mapped(params, opt_state, rng, feat_local, adj_local, ids_perm,
                labels_table, start_step, n_steps):
-        D = jax.lax.axis_size(axis_name)
-        me = jax.lax.axis_index(axis_name)
-        if data_axis:
-            # device order of P((data, graph)): data-major, graph-minor
-            me = jax.lax.axis_index(data_axis) * D + me
-            D = D * jax.lax.axis_size(data_axis)
+        me, D = _composed_me(axis_name, data_axis)
         local_b = batch_size // D
 
         def one_step(carry, step_idx):
@@ -888,15 +926,11 @@ def make_sharded_unsupervised_chunk_runner(
     config = unsup_config.sage
     num_nodes = config.num_nodes
     red = (data_axis, axis_name) if data_axis else axis_name
+    _check_batch_divisible(mesh, batch_size, axis_name, data_axis)
 
     def mapped(params, opt_state, shadow, rng, feat_local, adj_local,
                pairs_perm, neg_cdf, start_step, n_steps):
-        D = jax.lax.axis_size(axis_name)
-        me = jax.lax.axis_index(axis_name)
-        if data_axis:
-            # device order of P((data, graph)): data-major, graph-minor
-            me = jax.lax.axis_index(data_axis) * D + me
-            D = D * jax.lax.axis_size(data_axis)
+        me, D = _composed_me(axis_name, data_axis)
         local_b = batch_size // D
 
         def local_loss(params, b1, b2, mask, step_rng, global_mask_sum):
@@ -1188,8 +1222,8 @@ def make_sharded_supervised_eval_sweep(
 
     ``data_axis``: on a composed (data, graph) mesh the batch splits
     over BOTH axes (data-major, like the chunk runners) instead of
-    every data slice redundantly evaluating identical batches —
-    ``batch_size`` must divide the total device count.
+    every data slice redundantly evaluating identical batches — the
+    total shard count must divide ``batch_size``.
 
     sweep(params, feat_local, adj_local, ids_all, labels_table, rng)
     -> (losses [n_b], preds [Dtot*n_b*local_b, C] shard-major
@@ -1201,14 +1235,10 @@ def make_sharded_supervised_eval_sweep(
     config = sup_config.sage
     num_nodes = config.num_nodes
     red = (data_axis, axis_name) if data_axis else axis_name
+    _check_batch_divisible(mesh, batch_size, axis_name, data_axis)
 
     def mapped(params, feat_local, adj_local, ids_all, labels_table, rng):
-        D = jax.lax.axis_size(axis_name)
-        me = jax.lax.axis_index(axis_name)
-        if data_axis:
-            # device order of P((data, graph)): data-major, graph-minor
-            me = jax.lax.axis_index(data_axis) * D + me
-            D = D * jax.lax.axis_size(data_axis)
+        me, D = _composed_me(axis_name, data_axis)
         local_b = batch_size // D
         n_b = ids_all.shape[0] // batch_size
 
@@ -1270,7 +1300,13 @@ def make_sharded_unsup_eval_sweep(
     dispatch (validate_batch_size=-1 semantics; see
     train/unsupervised.make_unsup_eval_sweep). ``data_axis``: composed
     (data, graph) mesh — the pair stream splits over both axes instead
-    of every data slice redundantly evaluating identical batches.
+    of every data slice redundantly evaluating identical batches. The
+    outputs are scalars, so the split nests GRAPH-major and the rng
+    folds on the graph index alone: every pair keeps the graph-shard
+    owner, rng stream, and negative set it had on the 1-D mesh, making
+    the composed sweep's (loss, mrr) reproduce the 1-D values exactly
+    under position-independent samplers (first_k / shared_perm) —
+    val metrics do not shift when only --data_shards changes.
 
     sweep(params, feat_local, adj_local, pairs_all [P,2], neg_cdf, rng)
     -> (loss, mrr, dropped) — edge-weighted means over real pairs.
@@ -1281,14 +1317,10 @@ def make_sharded_unsup_eval_sweep(
     config = unsup_config.sage
     num_nodes = config.num_nodes
     red = (data_axis, axis_name) if data_axis else axis_name
+    _check_batch_divisible(mesh, batch_size, axis_name, data_axis)
 
     def mapped(params, feat_local, adj_local, pairs_all, neg_cdf, rng):
-        D = jax.lax.axis_size(axis_name)
-        me = jax.lax.axis_index(axis_name)
-        if data_axis:
-            # device order of P((data, graph)): data-major, graph-minor
-            me = jax.lax.axis_index(data_axis) * D + me
-            D = D * jax.lax.axis_size(data_axis)
+        me, D = _composed_me(axis_name, data_axis, graph_major=True)
         local_b = batch_size // D
         n_b = pairs_all.shape[0] // batch_size
 
@@ -1301,8 +1333,11 @@ def make_sharded_unsup_eval_sweep(
             b1, b2 = pair[:, 0], pair[:, 1]
             mask = (b1 != num_nodes).astype(jnp.float32)
             r = jax.random.fold_in(rng, i)
+            # fold on the GRAPH index alone (== me on a 1-D mesh): the
+            # data-axis halves of one graph shard draw the identical
+            # negatives/rng their pairs saw on the 1-D mesh
             r_neg, r1, r2, r3 = jax.random.split(
-                jax.random.fold_in(r, me), 4
+                jax.random.fold_in(r, jax.lax.axis_index(axis_name)), 4
             )
             neg_ids = sample_negatives(r_neg, neg_cdf,
                                        unsup_config.neg_sample_size)
@@ -1373,14 +1408,10 @@ def make_sharded_embed_sweep(
 
     config = unsup_config.sage
     red = (data_axis, axis_name) if data_axis else axis_name
+    _check_batch_divisible(mesh, batch_size, axis_name, data_axis)
 
     def mapped(params, feat_local, adj_local, ids_all, rng):
-        D = jax.lax.axis_size(axis_name)
-        me = jax.lax.axis_index(axis_name)
-        if data_axis:
-            # device order of P((data, graph)): data-major, graph-minor
-            me = jax.lax.axis_index(data_axis) * D + me
-            D = D * jax.lax.axis_size(data_axis)
+        me, D = _composed_me(axis_name, data_axis)
         local_b = batch_size // D
         n_b = ids_all.shape[0] // batch_size
 

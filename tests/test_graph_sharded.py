@@ -1417,12 +1417,11 @@ def test_composed_eval_and_embed_sweeps_match_1d(toy_graph):
     ul1, um1, ud1 = u1(*uargs)
     ul2, um2, ud2 = u2(*uargs)
     assert int(ud1) == int(ud2) == 0
-    # negatives are drawn per composed shard index (0..7 on the 2-D mesh
-    # vs 0..3 on the 1-D mesh), so only the real-pair loss/mrr weighting
-    # semantics are comparable, not the raw values; check finiteness and
-    # that the data-split path produces a real-pair-weighted value in
-    # range instead
-    assert np.isfinite(float(ul2)) and 0.0 <= float(um2) <= 1.0
+    # the unsup sweep nests GRAPH-major and folds its rng on the graph
+    # index alone, so the composed sweep reproduces the 1-D values
+    # exactly: same pair->owner map, same negative draws
+    np.testing.assert_allclose(float(ul2), float(ul1), rtol=1e-5)
+    np.testing.assert_allclose(float(um2), float(um1), rtol=1e-5)
 
     e1 = make_sharded_embed_sweep(unsup, mesh1d, B)
     e2 = make_sharded_embed_sweep(unsup, mesh2d, B, data_axis="data")
@@ -1434,3 +1433,26 @@ def test_composed_eval_and_embed_sweeps_match_1d(toy_graph):
     ro1 = reassemble_sharded_rows(np.asarray(o1), 4, n_b)[: len(nodes)]
     ro2 = reassemble_sharded_rows(np.asarray(o2), 8, n_b)[: len(nodes)]
     np.testing.assert_allclose(ro2, ro1, rtol=1e-5, atol=1e-6)
+
+
+def test_sweep_rejects_non_divisible_batch(toy_graph):
+    """Builders that slice a replicated stream fail fast when the total
+    shard count does not divide batch_size (a silent split would drop
+    tail rows and misalign stacked outputs)."""
+    from graphsage_tpu.models.graphsage import LayerInfo, SAGEConfig
+    from graphsage_tpu.models.supervised import SupervisedConfig
+    from graphsage_tpu.parallel.graph_sharded import (
+        make_sharded_supervised_eval_sweep,
+    )
+
+    g = toy_graph
+    sage = SAGEConfig(
+        layers=(LayerInfo(4, 8), LayerInfo(3, 8)),
+        feature_dim=4, num_nodes=g.num_nodes,
+    )
+    sup = SupervisedConfig(sage=sage, num_classes=g.num_classes)
+    mesh2d = Mesh(np.asarray(jax.devices()[:8]).reshape(2, 4),
+                  ("data", "graph"))
+    with pytest.raises(ValueError, match="divisible"):
+        make_sharded_supervised_eval_sweep(sup, mesh2d, 12,
+                                           data_axis="data")
