@@ -334,10 +334,7 @@ def _fold_shard(rng, axis_name, data_axis: str | None = None):
     across every shard's batch slice. Deterministic paths (first_k
     sampler, dropout=0) never consume rng, preserving the P2 bit-parity
     invariant."""
-    me = jax.lax.axis_index(axis_name)
-    if data_axis:
-        me = (jax.lax.axis_index(data_axis)
-              * jax.lax.axis_size(axis_name) + me)
+    me, _ = _composed_me(axis_name, data_axis)
     return jax.random.fold_in(rng, me)
 
 
