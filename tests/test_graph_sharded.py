@@ -1456,3 +1456,79 @@ def test_sweep_rejects_non_divisible_batch(toy_graph):
     with pytest.raises(ValueError, match="divisible"):
         make_sharded_supervised_eval_sweep(sup, mesh2d, 12,
                                            data_axis="data")
+
+
+@pytest.mark.parametrize("agg", ["maxpool", "meanpool", "twomaxpool",
+                                 "seq"])
+def test_sharded_step_matches_single_device_pool_seq(mesh, toy_graph, agg):
+    """The pooled/seq aggregator zoo through the graph-sharded path:
+    sharded_sage_embed is aggregator-agnostic (full rows gathered, the
+    pyramid folds on top), so one sharded optimizer step must reproduce
+    the single-device loss and params under first_k (the P2 parity
+    invariant — the fused mean fast path is gated to mean/gcn and never
+    engages here).
+
+    SGD, not the reference Adam: params-after-step then equals
+    params - lr*grad, a well-conditioned gradient-parity probe. Adam
+    first-step updates are ~lr*sign(grad), so psum-vs-serial f32
+    reduction ordering on near-zero pooled-MLP grads (relu dead units)
+    flips a handful of elements by 2*lr — amplified rounding noise, not
+    a routing bug (the Adam path is parity-tested on the mean-family
+    above)."""
+    import optax
+
+    from graphsage_tpu.data.adjacency import build_both_adjs
+    from graphsage_tpu.models.graphsage import LayerInfo, SAGEConfig
+    from graphsage_tpu.models.supervised import (
+        SupervisedConfig,
+        init_supervised_params,
+    )
+    from graphsage_tpu.parallel.dp import make_supervised_train_step
+
+    g = toy_graph
+    adj, _, _ = build_both_adjs(g, max_degree=8)
+    feats = g.padded_features()
+    sage = SAGEConfig(
+        layers=(LayerInfo(4, 8), LayerInfo(3, 8)),
+        feature_dim=feats.shape[1],
+        aggregator=agg,
+        sampler_mode="first_k",
+        num_nodes=g.num_nodes,
+    )
+    sup = SupervisedConfig(sage=sage, num_classes=g.num_classes)
+    params = init_supervised_params(jax.random.key(0), sup)
+    optimizer = optax.sgd(0.05)
+
+    B = 16
+    ids = np.arange(B, dtype=np.int32)
+    labels = g.labels[ids]
+    mask = np.ones(B, dtype=np.float32)
+    rng = jax.random.key(7)
+
+    single = make_supervised_train_step(sup, optimizer)
+    p1, _, loss1, _ = jax.jit(single)(
+        jax.tree.map(jnp.copy, params), optimizer.init(params), rng,
+        jnp.asarray(feats), jnp.asarray(adj), jnp.asarray(ids),
+        jnp.asarray(labels), jnp.asarray(mask),
+    )
+
+    feat_sh, _ = shard_rows(feats, D)
+    adj_sh, _ = shard_rows(adj, D)
+    step = make_sharded_supervised_step(
+        sup, optimizer, mesh, capacity_factor=8.0,
+    )
+    p2, _, loss2, _, dropped = step(
+        jax.tree.map(jnp.copy, params), optimizer.init(params), rng,
+        jnp.asarray(feat_sh), jnp.asarray(adj_sh),
+        jnp.asarray(ids), jnp.asarray(labels), jnp.asarray(mask),
+    )
+    assert int(dropped) == 0
+    np.testing.assert_allclose(float(loss2), float(loss1), rtol=1e-6)
+
+    def check(path, v1, v2):
+        np.testing.assert_allclose(
+            np.asarray(v2), np.asarray(v1), rtol=1e-5, atol=1e-6,
+            err_msg=jax.tree_util.keystr(path),
+        )
+
+    jax.tree_util.tree_map_with_path(check, p1, p2)
