@@ -1337,12 +1337,17 @@ def test_composed_checkpoint_resumes_on_1d_mesh(tmp_path, toy_graph):
     assert r2["steps"] > r1["steps"]
 
 
-def test_composed_eval_and_embed_sweeps_match_1d(toy_graph):
+@pytest.mark.parametrize("sampler", ["first_k", "shared_perm"])
+def test_composed_eval_and_embed_sweeps_match_1d(toy_graph, sampler):
     """Composed (2, 4) data x graph eval/embed sweeps split the stream
     over BOTH axes (no redundant per-data-slice evaluation) yet
     reproduce the 1-D 4-shard sweeps on the same shard tables: losses,
     reassembled preds, (loss, mrr), and exported embeddings all match
-    (exact capacity, first_k)."""
+    (exact capacity). Parametrized over both position-independent
+    samplers — shared_perm's one-permutation-per-call applies the same
+    columns to every row, so splitting a batch across the data axis
+    keeps per-id draws identical (the unsup sweep's graph-major nesting
+    and graph-index rng fold guarantee matching keys)."""
     from graphsage_tpu.data.adjacency import build_both_adjs
     from graphsage_tpu.models.graphsage import LayerInfo, SAGEConfig
     from graphsage_tpu.models.supervised import (
@@ -1368,7 +1373,7 @@ def test_composed_eval_and_embed_sweeps_match_1d(toy_graph):
         layers=(LayerInfo(4, 8), LayerInfo(3, 8)),
         feature_dim=feats.shape[1],
         aggregator="mean",
-        sampler_mode="first_k",
+        sampler_mode=sampler,
         num_nodes=g.num_nodes,
     )
     sup = SupervisedConfig(sage=sage, num_classes=g.num_classes)
