@@ -197,3 +197,58 @@ def test_data_shards_unsup_trainer(tmp_path, toy_graph):
     assert np.isfinite(result["val_loss"])
     emb = np.load(os.path.join(result["log_dir"], "val.npy"))
     assert emb.shape[0] == toy_graph.num_nodes
+
+
+@pytest.mark.parametrize("agg", ["maxpool", "meanpool", "twomaxpool",
+                                 "seq"])
+def test_dp_step_matches_single_device_pool_seq(mesh, toy_graph, agg):
+    """The pooled/seq aggregator zoo through the P1 data-parallel path:
+    one DP SGD step (batch split over the data axis, psum'd grads) must
+    reproduce the single-device loss and params (= lr*grad) under
+    first_k. SGD keeps the probe well-conditioned — Adam's first step
+    is ~lr*sign(grad) and amplifies psum-ordering rounding on
+    near-zero pooled-MLP grads (see the P2 twin in
+    test_graph_sharded.py)."""
+    import optax
+
+    g = toy_graph
+    adj, _, _ = build_both_adjs(g, max_degree=8)
+    feats = g.padded_features()
+    sage = SAGEConfig(
+        layers=(LayerInfo(4, 8), LayerInfo(3, 8)),
+        feature_dim=feats.shape[1],
+        aggregator=agg,
+        sampler_mode="first_k",
+        num_nodes=g.num_nodes,
+    )
+    sup = SupervisedConfig(sage=sage, num_classes=g.num_classes)
+    params = init_supervised_params(jax.random.key(0), sup)
+    labels_table = jnp.asarray(
+        np.vstack([g.labels, np.zeros((1, g.num_classes), np.float32)])
+    )
+    optimizer = optax.sgd(0.05)
+
+    B = 16
+    ids_perm = jnp.asarray(np.arange(B, dtype=np.int32) % g.num_nodes)
+    rng = jax.random.key(7)
+    args = (rng, jnp.asarray(feats), jnp.asarray(adj), ids_perm,
+            labels_table, 0, 1)
+
+    single = jax.jit(make_supervised_chunk_runner(sup, optimizer, B))
+    p1, _, loss1, _, _ = single(
+        jax.tree.map(jnp.copy, params), optimizer.init(params), *args
+    )
+
+    dp = make_dp_supervised_chunk_runner(sup, optimizer, mesh, B)
+    p2, _, loss2, _, _ = dp(
+        jax.tree.map(jnp.copy, params), optimizer.init(params), *args
+    )
+    np.testing.assert_allclose(float(loss2), float(loss1), rtol=1e-6)
+
+    def check(path, v1, v2):
+        np.testing.assert_allclose(
+            np.asarray(v2), np.asarray(v1), rtol=1e-5, atol=1e-6,
+            err_msg=jax.tree_util.keystr(path),
+        )
+
+    jax.tree_util.tree_map_with_path(check, p1, p2)
