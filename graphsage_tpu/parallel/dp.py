@@ -335,6 +335,9 @@ def make_dp_supervised_chunk_runner(
     the deterministic first_k sampler: per-device masked loss sums are
     normalized by the psum'd global mask count before the grad psum.
     """
+    from graphsage_tpu.parallel.graph_sharded import _check_batch_divisible
+
+    _check_batch_divisible(mesh, batch_size, axis_name, None)
     import numpy as np
     from jax.sharding import PartitionSpec as P
     from jax.experimental.shard_map import shard_map
@@ -452,6 +455,9 @@ def make_dp_unsupervised_chunk_runner(
     the single-device three-tower step), grads psum'd. Bit-matches the
     single-device chunk runner under first_k (negatives share the same
     rng stream; per-edge losses renormalize by the global mask count)."""
+    from graphsage_tpu.parallel.graph_sharded import _check_batch_divisible
+
+    _check_batch_divisible(mesh, batch_size, axis_name, None)
     from jax.sharding import PartitionSpec as P
     from jax.experimental.shard_map import shard_map
 

@@ -19,6 +19,12 @@ def test_preflight_failure_prints_one_json_line(status, code):
     prog = f"""
 import sys
 sys.path.insert(0, {REPO!r})
+# JAX_PLATFORMS=cpu in the env is overridden by the axon sitecustomize
+# (CLAUDE.md hazard) — force CPU after import so this subprocess can
+# never issue a device op on the tunneled TPU, even if a future import
+# on bench's chain touches jax.devices().
+import jax
+jax.config.update("jax_platforms", "cpu")
 import benchmarks.tpu_probe as tp
 tp.guarded_probe = lambda timeout_s=150.0: (
     {{"status": {status!r}, "error": "boom"}})
