@@ -147,6 +147,31 @@ def build_parser() -> argparse.ArgumentParser:
         default=True)
     _add_common(p_unsup, unsup_defaults)
 
+    p_embed = sub.add_parser(
+        "embed", help="checkpoint -> embeddings for any dataset "
+        "(inductive serving; no reference equivalent)")
+    p_embed.add_argument("--model", choices=SUPERVISED_MODELS,
+                         default="graphsage_mean")
+    p_embed.add_argument("--neg_sample_size", type=int, default=20)
+    p_embed.add_argument("--out_dir", default=None,
+                         help="output dir (default: the reference "
+                              "log-dir layout)")
+    _add_common(p_embed, unsup_defaults)
+
+    p_pred = sub.add_parser(
+        "predict", help="checkpoint -> class predictions for any dataset "
+        "(inductive serving; no reference equivalent)")
+    p_pred.add_argument("--model", choices=SUPERVISED_MODELS,
+                        default="graphsage_mean")
+    p_pred.add_argument("--samples_3", type=int, default=0)
+    p_pred.add_argument("--sigmoid", action="store_true")
+    p_pred.add_argument("--nodes", choices=("test", "val", "train", "all"),
+                        default="test")
+    p_pred.add_argument("--num_classes", type=int, default=0,
+                        help="required when the dataset has no class_map")
+    p_pred.add_argument("--out_dir", default=None)
+    _add_common(p_pred, sup_defaults)
+
     p_eval = sub.add_parser(
         "eval", help="logistic-regression eval of saved embeddings "
         "(reference eval_scripts/)")
@@ -207,6 +232,26 @@ def main(argv=None) -> int:
             TrainFlags(learning_rate=0.00001, epochs=1, max_degree=100,
                        print_every=50),
         ))
+    elif args.command == "embed":
+        from graphsage_tpu.infer import export_embeddings
+
+        export_embeddings(
+            _flags_from_args(
+                args,
+                TrainFlags(learning_rate=0.00001, epochs=1, max_degree=100,
+                           print_every=50),
+            ),
+            out_dir=args.out_dir,
+        )
+    elif args.command == "predict":
+        from graphsage_tpu.infer import predict
+
+        predict(
+            _flags_from_args(args, TrainFlags()),
+            out_dir=args.out_dir,
+            nodes=args.nodes,
+            num_classes=args.num_classes,
+        )
     elif args.command == "eval":
         from graphsage_tpu.evaluation import evaluate_embeddings
 
