@@ -14,6 +14,13 @@ reference (models.py:229-240), is ``identity_dim > 0``: the trained
 [N+1, d] identity table is tied to the training graph's nodes (on a
 different graph, rows beyond the stored table restore as zeros).
 
+Scale-out serving: ``--graph_shards N`` (optionally composed with
+``--data_shards M``) runs the sweeps over row-sharded tables with
+all-to-all halo exchange (parallel/graph_sharded.py) — tables larger
+than one chip's HBM serve across the mesh. Checkpoints store identity
+tables in canonical id order, so any trainer's checkpoint loads under
+any serving topology.
+
 CLI: ``graphsage embed ...`` / ``graphsage predict ...``.
 """
 
@@ -21,6 +28,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import time
 
 import jax
 import jax.numpy as jnp
@@ -59,7 +67,7 @@ def _prepare(flags: TrainFlags, graph):
     return graph, features, jnp.asarray(full_adj_np)
 
 
-def _restore_params(flags: TrainFlags, params_like):
+def _restore_params(flags: TrainFlags, params_like, opt_state_like=None):
     """Restore trained params from flags.checkpoint_dir (-> params, step).
 
     Optimizer state is restored only for pytree-structure compatibility
@@ -67,9 +75,12 @@ def _restore_params(flags: TrainFlags, params_like):
     """
     if not flags.checkpoint_dir:
         raise ValueError("inference requires --checkpoint_dir")
-    optimizer = make_optimizer(flags.learning_rate)
-    opt_state = optimizer.init(params_like)
-    restored = ckpt.restore(flags.checkpoint_dir, params_like, opt_state)
+    if opt_state_like is None:
+        opt_state_like = make_optimizer(flags.learning_rate).init(
+            params_like
+        )
+    restored = ckpt.restore(flags.checkpoint_dir, params_like,
+                            opt_state_like)
     if restored is None:
         raise FileNotFoundError(
             f"no checkpoint found under {flags.checkpoint_dir!r}"
@@ -82,6 +93,96 @@ def _restore_params(flags: TrainFlags, params_like):
             "training graph; rows for nodes it did not cover are zeros."
         )
     return params, step
+
+
+@dataclasses.dataclass
+class _ShardedEnv:
+    """Mesh + placed tables + restored params for --graph_shards inference
+    (the trainers' _train_sharded placement, minus the train-only state).
+    Checkpoints store identity tables in canonical id order, so any
+    trainer's checkpoint (single-device, sharded under a different
+    --graph_shards/--shard_layout, composed) loads here."""
+
+    mesh: object
+    feat_sh: object
+    full_adj_sh: object
+    cap_factor: float
+    params: dict
+    step: int
+    total: int
+    data_axis: str | None
+
+
+def _prepare_sharded(flags: TrainFlags, graph, params_like) -> _ShardedEnv:
+    from jax.sharding import Mesh
+    from jax.sharding import PartitionSpec as P
+
+    from graphsage_tpu.parallel.distributed import (
+        put_global,
+        replicate_unsharded,
+    )
+    from graphsage_tpu.parallel.graph_sharded import (
+        embeds_to_device_layout,
+        shard_rows,
+        suggest_capacity_factor,
+    )
+    from graphsage_tpu.train.supervised import _place_sharded_features
+
+    D = flags.graph_shards
+    Dd = max(flags.data_shards, 1)
+    total = D * Dd
+    if flags.batch_size % total:
+        raise ValueError("batch_size must divide data_shards * graph_shards")
+    devices = jax.devices()
+    if len(devices) < total:
+        devices = jax.devices("cpu")
+    if len(devices) < total:
+        raise ValueError(
+            f"need {total} devices for --graph_shards {D} "
+            f"x --data_shards {Dd}"
+        )
+    if Dd > 1:
+        mesh = Mesh(np.asarray(devices[:total]).reshape(Dd, D),
+                    ("data", "graph"))
+    else:
+        mesh = Mesh(np.asarray(devices[:D]), ("graph",))
+
+    _, _, full_adj_np = build_both_adjs(
+        graph, flags.max_degree, seed=flags.seed
+    )
+    layout = flags.shard_layout
+    feat_sh = _place_sharded_features(graph, D, mesh, flags.feature_dtype,
+                                      layout, lane_pad=flags.fused_gather)
+    full_adj_sh = put_global(shard_rows(full_adj_np, D, layout)[0],
+                             mesh, P("graph"))
+    cap_factor = flags.capacity_factor or suggest_capacity_factor(
+        full_adj_np, D, layout=layout
+    )
+
+    if flags.identity_dim > 0:
+        params_like = dict(params_like)
+        params_like["embeds"] = put_global(
+            shard_rows(np.asarray(params_like["embeds"]), D, layout)[0],
+            mesh, P("graph"),
+        )
+    params_like = replicate_unsharded(params_like, mesh)
+    opt_state_like = replicate_unsharded(
+        make_optimizer(flags.learning_rate).init(params_like), mesh
+    )
+    params, step = _restore_params(flags, params_like, opt_state_like)
+    params = embeds_to_device_layout(params, D, layout)
+    return _ShardedEnv(mesh=mesh, feat_sh=feat_sh, full_adj_sh=full_adj_sh,
+                       cap_factor=cap_factor, params=params, step=step,
+                       total=total, data_axis="data" if Dd > 1 else None)
+
+
+def _warn_dropped(dropped, cap_factor: float, where: str) -> None:
+    d = int(dropped)
+    if d > 0:
+        print(f"WARNING: {where}: {d} gather requests overflowed the "
+              f"all-to-all capacity and returned ZERO rows "
+              f"(capacity_factor={cap_factor:.2f}). "
+              f"Raise --capacity_factor.")
 
 
 def _select_nodes(graph, nodes: str) -> np.ndarray:
@@ -113,24 +214,55 @@ def export_embeddings(flags: TrainFlags, out_dir: str | None = None,
             "n2v is embedding-table-only (transductive); its embeddings "
             "are exported by the trainer itself (val.npy / val-test.npy)"
         )
-    graph, features, full_adj = _prepare(flags, graph)
-    config = build_unsupervised_config(flags, graph)
-    params_like = init_unsupervised_params(
-        jax.random.key(flags.seed), config
-    )
-    params, step = _restore_params(flags, params_like)
-
     B = flags.batch_size
-    dummy = graph.num_nodes
-    embed_sweep = make_embed_sweep(config, B, dummy)
-    n_b = max(1, -(-graph.num_nodes // B))
-    ids_all = np.full((n_b * B,), dummy, dtype=np.int32)
-    ids_all[: graph.num_nodes] = np.arange(graph.num_nodes)
-    # same eval-key derivation as the trainer (train/unsupervised.py)
-    rows = np.asarray(embed_sweep(
-        params, features, full_adj, jnp.asarray(ids_all),
-        jax.random.key(flags.seed + 1),
-    ))[: graph.num_nodes]
+    if flags.graph_shards > 1:
+        from graphsage_tpu.parallel.graph_sharded import (
+            make_sharded_embed_sweep,
+            reassemble_sharded_rows,
+        )
+
+        if graph is None:
+            graph = load_data(flags.train_prefix, load_walks=False,
+                              load_features=not flags.defer_features)
+        config = build_unsupervised_config(flags, graph)
+        env = _prepare_sharded(flags, graph, init_unsupervised_params(
+            jax.random.key(flags.seed), config
+        ))
+        step = env.step
+        dummy = graph.num_nodes
+        embed_sweep = make_sharded_embed_sweep(
+            config, env.mesh, B, capacity_factor=env.cap_factor,
+            params_like=env.params, data_axis=env.data_axis,
+        )
+        n_b = max(1, -(-graph.num_nodes // B))
+        ids_all = np.full((n_b * B,), dummy, dtype=np.int32)
+        ids_all[: graph.num_nodes] = np.arange(graph.num_nodes)
+        # same export-key derivation as the sharded trainer
+        out_sh, dropped = embed_sweep(
+            env.params, env.feat_sh, env.full_adj_sh, jnp.asarray(ids_all),
+            jax.random.key(flags.seed + 2),
+        )
+        _warn_dropped(dropped, env.cap_factor, "embedding export")
+        rows = reassemble_sharded_rows(out_sh, env.total,
+                                       n_b)[: graph.num_nodes]
+    else:
+        graph, features, full_adj = _prepare(flags, graph)
+        config = build_unsupervised_config(flags, graph)
+        params_like = init_unsupervised_params(
+            jax.random.key(flags.seed), config
+        )
+        params, step = _restore_params(flags, params_like)
+
+        dummy = graph.num_nodes
+        embed_sweep = make_embed_sweep(config, B, dummy)
+        n_b = max(1, -(-graph.num_nodes // B))
+        ids_all = np.full((n_b * B,), dummy, dtype=np.int32)
+        ids_all[: graph.num_nodes] = np.arange(graph.num_nodes)
+        # same eval-key derivation as the trainer (train/unsupervised.py)
+        rows = np.asarray(embed_sweep(
+            params, features, full_adj, jnp.asarray(ids_all),
+            jax.random.key(flags.seed + 1),
+        ))[: graph.num_nodes]
 
     out_dir = out_dir or flags.log_dir("unsupervised")
     os.makedirs(out_dir, exist_ok=True)
@@ -163,7 +295,13 @@ def predict(flags: TrainFlags, out_dir: str | None = None,
 
     if nodes not in NODE_SETS:
         raise ValueError(f"nodes must be one of {NODE_SETS}")
-    graph, features, full_adj = _prepare(flags, graph)
+    sharded = flags.graph_shards > 1
+    if sharded:
+        if graph is None:
+            graph = load_data(flags.train_prefix, load_walks=False,
+                              load_features=not flags.defer_features)
+    else:
+        graph, features, full_adj = _prepare(flags, graph)
     if graph.num_classes is None:
         if num_classes <= 0:
             raise ValueError(
@@ -172,8 +310,6 @@ def predict(flags: TrainFlags, out_dir: str | None = None,
             )
         graph = dataclasses.replace(graph, num_classes=num_classes)
     config = build_supervised_config(flags, graph)
-    params_like = init_supervised_params(jax.random.key(flags.seed), config)
-    params, step = _restore_params(flags, params_like)
 
     node_idx = _select_nodes(graph, nodes)
     if len(node_idx) == 0:
@@ -184,11 +320,51 @@ def predict(flags: TrainFlags, out_dir: str | None = None,
         labels_np = np.zeros(
             (graph.num_nodes, graph.num_classes), dtype=np.float32
         )
-    sweep = make_eval_sweep(config, flags.batch_size, graph.num_nodes)
-    loss, preds, labels, dt = _run_eval_sweep(
-        sweep, params, features, full_adj, node_idx, labels_np,
-        flags.batch_size, graph.num_nodes, jax.random.key(flags.seed + 1),
-    )
+    if sharded:
+        from graphsage_tpu.parallel.graph_sharded import (
+            make_sharded_supervised_eval_sweep,
+            reassemble_sharded_rows,
+        )
+
+        env = _prepare_sharded(flags, graph, init_supervised_params(
+            jax.random.key(flags.seed), config
+        ))
+        step = env.step
+        eval_sweep = make_sharded_supervised_eval_sweep(
+            config, env.mesh, flags.batch_size,
+            capacity_factor=env.cap_factor,
+            params_like=env.params, data_axis=env.data_axis,
+        )
+        t0 = time.time()
+        bs = flags.batch_size
+        n_b = max(1, -(-len(node_idx) // bs))
+        ids_all = np.full((n_b * bs,), graph.num_nodes, dtype=np.int32)
+        ids_all[: len(node_idx)] = node_idx
+        labels_table = np.zeros(
+            (graph.num_nodes + 1, graph.num_classes), dtype=np.float32
+        )
+        labels_table[: graph.num_nodes] = labels_np
+        losses, preds_sh, dropped = eval_sweep(
+            env.params, env.feat_sh, env.full_adj_sh, jnp.asarray(ids_all),
+            jnp.asarray(labels_table), jax.random.key(flags.seed + 1),
+        )
+        _warn_dropped(dropped, env.cap_factor, "eval sweep")
+        preds = reassemble_sharded_rows(preds_sh, env.total,
+                                        n_b)[: len(node_idx)]
+        loss = float(np.mean(np.asarray(losses)))
+        labels = labels_np[node_idx]
+        dt = time.time() - t0
+    else:
+        params_like = init_supervised_params(
+            jax.random.key(flags.seed), config
+        )
+        params, step = _restore_params(flags, params_like)
+        sweep = make_eval_sweep(config, flags.batch_size, graph.num_nodes)
+        loss, preds, labels, dt = _run_eval_sweep(
+            sweep, params, features, full_adj, node_idx, labels_np,
+            flags.batch_size, graph.num_nodes,
+            jax.random.key(flags.seed + 1),
+        )
 
     out_dir = out_dir or flags.log_dir("supervised")
     os.makedirs(out_dir, exist_ok=True)

@@ -116,6 +116,49 @@ def test_infer_requires_checkpoint(tmp_path, graph):
         export_embeddings(flags, graph=graph)
 
 
+def test_sharded_embed_reproduces_sharded_trainer_export(tmp_path, graph):
+    """--graph_shards inference re-exports a sharded training run's
+    embeddings bit-for-bit (same sweep, capacity, key derivation)."""
+    from graphsage_tpu.infer import export_embeddings
+    from graphsage_tpu.train.unsupervised import train
+
+    flags = tiny_flags(
+        tmp_path, epochs=1, max_total_steps=6, random_context=False,
+        save_embeddings=True, graph_shards=2,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    result = train(flags, graph=graph)
+    trainer_rows = np.load(os.path.join(result["log_dir"], "val.npy"))
+
+    out = export_embeddings(flags, out_dir=str(tmp_path / "re-export"),
+                            graph=graph)
+    rows = np.load(os.path.join(out, "val.npy"))
+    np.testing.assert_array_equal(rows, trainer_rows)
+
+
+def test_predict_single_device_checkpoint_on_sharded_mesh(tmp_path, graph):
+    """A single-device training checkpoint serves under --graph_shards 4
+    (canonical-order checkpoints are topology-portable); under the
+    deterministic first_k sampler the sharded predictions match the
+    single-device ones (the P2 bit-parity invariant)."""
+    from graphsage_tpu.infer import predict
+    from graphsage_tpu.train.supervised import train
+
+    flags = tiny_flags(tmp_path, sampler_mode="first_k", identity_dim=4,
+                       checkpoint_dir=str(tmp_path / "ckpt"))
+    train(flags, graph=graph)
+
+    single = predict(flags, out_dir=str(tmp_path / "p1"), nodes="test",
+                     graph=graph)
+    sharded_flags = dataclasses.replace(flags, graph_shards=4)
+    sharded = predict(sharded_flags, out_dir=str(tmp_path / "p4"),
+                      nodes="test", graph=graph)
+    p1 = np.load(os.path.join(single["out_dir"], "preds.npy"))
+    p4 = np.load(os.path.join(sharded["out_dir"], "preds.npy"))
+    np.testing.assert_allclose(p4, p1, rtol=2e-5, atol=2e-6)
+    assert sharded["f1_micro"] == pytest.approx(single["f1_micro"])
+
+
 def test_cli_parses_infer_commands():
     from graphsage_tpu.cli import build_parser
 
