@@ -15,7 +15,8 @@ Layout (mirrors the reference's implicit layering, SURVEY.md section 1):
   parallel/  mesh construction, data-parallel + graph-sharded training
   ops/       XLA/Pallas kernels for the hot paths
   evaluation downstream linear-probe evaluation of embeddings
-  cli        `graphsage supervised|unsupervised|eval|walks`
+  infer      standalone serving: checkpoint -> embeddings / predictions
+  cli        `graphsage supervised|unsupervised|embed|predict|eval|walks`
 """
 
 __version__ = "0.1.0"
