@@ -18,6 +18,11 @@ device->host copy of the [N, 256] result (tunnel-bandwidth-specific,
 not a chip property).
 
 Prints exactly one JSON line. Not the driver headline — bench.py is.
+
+``--predict`` measures the supervised serving path instead
+(infer.py::predict -> train/supervised.py::make_eval_sweep: same
+pyramid + l2-norm + dense head + per-batch masked loss, the
+reference's incremental_evaluate shape, supervised_train.py:91-110).
 """
 
 from __future__ import annotations
@@ -43,23 +48,22 @@ TRIALS = 3
 
 
 def main():
+    predict = "--predict" in sys.argv
+    metric = ("serving_predict_nodes_per_sec" if predict
+              else "serving_embed_nodes_per_sec")
+
     from benchmarks.tpu_probe import guarded_probe
 
     res = guarded_probe(150.0)
     if res["status"] != "ok":
         print(json.dumps({
-            "metric": "serving_embed_nodes_per_sec", "value": 0.0,
+            "metric": metric, "value": 0.0,
             "unit": "nodes/s/chip", "error": res.get("error", res["status"]),
         }), flush=True)
         os._exit(3)
 
     from graphsage_tpu.models.graphsage import LayerInfo, SAGEConfig
-    from graphsage_tpu.models.unsupervised import (
-        UnsupervisedConfig,
-        init_unsupervised_params,
-    )
     from graphsage_tpu.ops.gather import pad_feature_dim
-    from graphsage_tpu.train.unsupervised import make_embed_sweep
 
     sage = SAGEConfig(
         layers=(LayerInfo(bench.FANOUTS[0], bench.DIMS[0]),
@@ -70,7 +74,6 @@ def main():
         fused_gather=True,
         num_nodes=NUM_NODES,
     )
-    config = UnsupervisedConfig(sage=sage)
 
     rng = np.random.default_rng(0)
     features = jnp.asarray(pad_feature_dim(np.vstack([
@@ -78,16 +81,43 @@ def main():
         np.zeros((1, bench.FEAT_DIM), dtype=np.float32),
     ])))
     adj = jnp.asarray(bench.zipf_adjacency(rng))
-    params = init_unsupervised_params(jax.random.key(0), config)
 
-    # infer.py::export_embeddings id stream: every node, dummy-padded
-    # to a whole number of batches
+    # infer.py id stream: every node, dummy-padded to whole batches
     n_b = -(-NUM_NODES // BATCH)
     ids_np = np.full((n_b * BATCH,), NUM_NODES, dtype=np.int32)
     ids_np[:NUM_NODES] = np.arange(NUM_NODES)
     ids_all = jnp.asarray(ids_np)
-    sweep = make_embed_sweep(config, BATCH, NUM_NODES)
     key = jax.random.key(7)
+
+    if predict:
+        from graphsage_tpu.models.supervised import (
+            SupervisedConfig,
+            init_supervised_params,
+        )
+        from graphsage_tpu.train.supervised import make_eval_sweep
+
+        config = SupervisedConfig(sage=sage, num_classes=bench.NUM_CLASSES,
+                                  sigmoid_loss=False, weight_decay=0.0)
+        params = init_supervised_params(jax.random.key(0), config)
+        labels_table = np.zeros((NUM_NODES + 1, bench.NUM_CLASSES),
+                                np.float32)
+        labels_table[np.arange(NUM_NODES),
+                     rng.integers(0, bench.NUM_CLASSES, NUM_NODES)] = 1.0
+        labels_dev = jnp.asarray(labels_table)
+        raw = make_eval_sweep(config, BATCH, NUM_NODES)
+
+        def sweep(p, f, a, ids, k):
+            return raw(p, f, a, ids, labels_dev, k)[1]
+    else:
+        from graphsage_tpu.models.unsupervised import (
+            UnsupervisedConfig,
+            init_unsupervised_params,
+        )
+        from graphsage_tpu.train.unsupervised import make_embed_sweep
+
+        config = UnsupervisedConfig(sage=sage)
+        params = init_unsupervised_params(jax.random.key(0), config)
+        sweep = make_embed_sweep(config, BATCH, NUM_NODES)
 
     rows = sweep(params, features, adj, ids_all, key)  # compile + warmup
     float(rows[0, 0])
@@ -103,7 +133,7 @@ def main():
     edges_per_node = s2 + s2 * s1  # same count bench.py charges per id
     nodes_per_sec = n_b * BATCH / best_dt
     print(json.dumps({
-        "metric": "serving_embed_nodes_per_sec",
+        "metric": metric,
         "value": round(nodes_per_sec, 1),
         "unit": "nodes/s/chip",
         "edges_per_sec": round(nodes_per_sec * edges_per_node, 1),
