@@ -18,9 +18,12 @@ which is also ~22% faster per step than per-node independent draws
 
 ``vs_baseline`` divides by a MEASURED reference number:
 benchmarks/BASELINE_MEASURED.json, produced by
-benchmarks/reference_baseline.py — a tf.compat.v1 re-enactment of the
-reference's supervised step (same shape, per-step feed_dict) timed on
-this machine's CPU (the reference pins TF1.8-GPU, unavailable here).
+benchmarks/reference_actual_baseline.py — the REFERENCE CODE ITSELF
+(/root/reference's SupervisedGraphsage under tf.compat.v1, same shape,
+per-step feed_dict) timed on this machine's CPU (the reference pins
+TF1.8-GPU, unavailable here). ``vs_reenactment`` divides by the leaner
+re-enactment of the same step (benchmarks/reference_baseline.py), a
+conservative secondary denominator.
 ``roofline_frac`` reports step bytes-moved against the v5e ~819 GB/s
 HBM peak; ``wall_frac`` reports the fused inner-hop gather's achieved
 row-DMAs/s against the measured ~36M/s scalar-issue wall
@@ -132,16 +135,26 @@ def build(fused: bool = True, dist: str = "zipf"):
 
 
 def measured_baseline():
+    """(reference rate, provenance, re-enactment rate or None).
+
+    The primary denominator is the ACTUAL reference code's measured rate
+    (benchmarks/reference_actual_baseline.py runs /root/reference's own
+    SupervisedGraphsage under tf.compat.v1); the leaner tf re-enactment
+    (benchmarks/reference_baseline.py) is kept alongside as a
+    conservative secondary denominator."""
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "benchmarks", "BASELINE_MEASURED.json")
     try:
         with open(path) as fp:
             data = json.load(fp)
-        return float(data["reference_edges_per_sec"]), (
-            data.get("provenance", "measured, see " + path)
+        reenact = data.get("reenactment_edges_per_sec")
+        return (
+            float(data["reference_edges_per_sec"]),
+            data.get("provenance", "measured, see " + path),
+            float(reenact) if reenact else None,
         )
     except (OSError, KeyError, ValueError):
-        return 2.0e6, "ESTIMATED TF1-GPU rate (measured file missing)"
+        return 2.0e6, "ESTIMATED TF1-GPU rate (measured file missing)", None
 
 
 def preflight(timeout_s: float = 150.0):
@@ -280,7 +293,7 @@ def main():
     sec_per_step = best_dt / ITERS
     edges_per_step = BATCH * (FANOUTS[1] + FANOUTS[1] * FANOUTS[0])
     edges_per_sec = edges_per_step * ITERS / best_dt
-    ref_rate, provenance = measured_baseline()
+    ref_rate, provenance, reenact_rate = measured_baseline()
 
     # dominant traffic: feature rows touched per step (fwd gathers) +
     # adjacency rows + output writes; f32 table
@@ -302,6 +315,11 @@ def main():
         "vs_baseline": round(edges_per_sec / ref_rate, 3),
         "baseline_provenance": provenance,
         "baseline_edges_per_sec": ref_rate,
+        # conservative secondary denominator: a leaner tf.compat.v1
+        # re-enactment of the same step (benchmarks/reference_baseline.py)
+        # that skips the reference's own layer/sampler overheads
+        **({"vs_reenactment": round(edges_per_sec / reenact_rate, 3)}
+           if reenact_rate else {}),
         "graph_dist": dist,
         "sec_per_step": round(sec_per_step, 6),
         "sec_per_step_dispatch": round(sec_per_step_dispatch, 6),
