@@ -327,14 +327,16 @@ def _placeholders(supervised: bool):
     return ph
 
 
-def _layer_infos(adj_var):
+def _layer_infos(adj_var, n_layers: int = 2):
     from graphsage.models import SAGEInfo
     from graphsage.neigh_samplers import UniformNeighborSampler
 
     sampler = UniformNeighborSampler(adj_var)
+    fanouts = FANOUTS + (2,) * (n_layers - len(FANOUTS))
+    dims = DIMS + (6,) * (n_layers - len(DIMS))
     return [
-        SAGEInfo("node", sampler, FANOUTS[0], DIMS[0]),
-        SAGEInfo("node", sampler, FANOUTS[1], DIMS[1]),
+        SAGEInfo("node", sampler, fanouts[i], dims[i])
+        for i in range(n_layers)
     ]
 
 
@@ -379,8 +381,12 @@ def trace_supervised():
         ("sup_meanpool", "meanpool", True, False, 0.0, 0),
         ("sup_seq", "seq", True, False, 0.0, 0),
         ("sup_identity", "mean", True, False, 0.0, 3),
+        # the --samples_3 deeper pyramid (supervised_train.py:153-156):
+        # 3 hop levels exercise the aggregate() double loop differently
+        ("sup_mean_3layer", "mean", True, False, 0.0, 0),
     ]
     for case, agg_type, concat, sigmoid, wd, id_dim in cases:
+        n_layers = 3 if case == "sup_mean_3layer" else 2
         tf.reset_default_graph()
         tf.set_random_seed(123)
         FLAGS.weight_decay = wd
@@ -389,7 +395,7 @@ def trace_supervised():
         adj_var = tf.Variable(tf.constant(adj), trainable=False)
         model = SupervisedGraphsage(
             C, ph, feats[:, :F], adj_var, degrees,
-            _layer_infos(adj_var), concat=concat,
+            _layer_infos(adj_var, n_layers), concat=concat,
             aggregator_type=agg_type, model_size="small",
             sigmoid_loss=sigmoid, identity_dim=id_dim,
         )

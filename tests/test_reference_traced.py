@@ -225,6 +225,7 @@ SUP_CASES = [
     ("sup_meanpool", "meanpool", True, False, 0.0, 0),
     ("sup_seq", "seq", True, False, 0.0, 0),
     ("sup_identity", "mean", True, False, 0.0, 3),
+    ("sup_mean_3layer", "mean", True, False, 0.0, 0),  # --samples_3 depth
 ]
 
 
@@ -232,8 +233,11 @@ def _sup_setup(case, agg, concat, sigmoid, wd, id_dim):
     from graphsage_tpu.models.graphsage import LayerInfo, SAGEConfig
     from graphsage_tpu.models.supervised import SupervisedConfig
 
+    n_layers = 3 if case.endswith("3layer") else 2
+    layer_infos = ((LayerInfo(3, 6), LayerInfo(2, 6))
+                   + ((LayerInfo(2, 6),) if n_layers == 3 else ()))
     sage = SAGEConfig(
-        layers=(LayerInfo(3, 6), LayerInfo(2, 6)),
+        layers=layer_infos,
         feature_dim=8, aggregator=agg, concat=concat, model_size="small",
         identity_dim=id_dim, num_nodes=12, sampler_mode="first_k",
     )
@@ -242,7 +246,7 @@ def _sup_setup(case, agg, concat, sigmoid, wd, id_dim):
     aggs = [
         agg_params_from(case, lambda k, li=li: g(case, f"var_agg{li}_{k}"),
                         agg)
-        for li in range(2)
+        for li in range(n_layers)
     ]
     params = {
         "aggs": aggs,
@@ -261,7 +265,7 @@ def _sup_setup(case, agg, concat, sigmoid, wd, id_dim):
 def _flat_grad_pairs(case, agg, grads, id_dim):
     """(traced_name, our_grad) pairs mirroring trace_reference's var order."""
     pairs = []
-    for li in range(2):
+    for li in range(len(grads["aggs"])):
         gp = grads["aggs"][li]
         for tfk, ourk in AGG_VAR_MAP.items():
             if has(case, f"var_agg{li}_{tfk}"):
