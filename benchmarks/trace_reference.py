@@ -485,12 +485,66 @@ def trace_unsupervised():
     print(f"{case}: loss {loss_v:.6f}, mrr {mrr_v:.4f}")
 
 
+def trace_node2vec():
+    from graphsage import models as ref_models
+
+    B = len(BATCH)
+    batch2 = np.array([4, 1, 9, 2, 6, 10], dtype=np.int32)
+    fixed_negs = np.array([0, 3, 7], dtype=np.int64)  # unique=True;
+    # disjoint from batch2 (exact-tie ulp hazard, see trace_unsupervised)
+
+    tf.reset_default_graph()
+    tf.set_random_seed(123)
+    FLAGS.neg_sample_size = len(fixed_negs)
+
+    orig_sampler = tf.nn.fixed_unigram_candidate_sampler
+    tf.nn.fixed_unigram_candidate_sampler = lambda **kw: (
+        tf.constant(fixed_negs),
+        tf.zeros([B, 1]),
+        tf.zeros([len(fixed_negs)]),
+    )
+    try:
+        ph = _placeholders(supervised=False)
+        model = ref_models.Node2VecModel(
+            ph, N + 1, np.full((N,), float(MAXDEG)), nodevec_dim=8,
+            lr=0.5,
+        )
+    finally:
+        tf.nn.fixed_unigram_candidate_sampler = orig_sampler
+
+    feed = {ph["batch1"]: BATCH, ph["batch2"]: batch2}
+    pairs = [("target", model.target_embeds),
+             ("context", model.context_embeds),
+             ("bias", model.context_bias)]
+    grads = _dense_grads(model.loss, [v for _, v in pairs])
+    with tf.Session() as sess:
+        sess.run(tf.global_variables_initializer())
+        vals = sess.run([v for _, v in pairs])
+        loss_v, mrr_v, ranks_v, g_v = sess.run(
+            [model.loss, model.mrr, model.ranks, grads], feed_dict=feed
+        )
+        sess.run(model.opt_op, feed_dict=feed)  # plain SGD lr=0.5
+        post = sess.run([v for _, v in pairs])
+    case = "n2v"
+    put(case, "batch2", batch2)
+    put(case, "neg_ids", fixed_negs.astype(np.int32))
+    put(case, "loss", loss_v)
+    put(case, "mrr", mrr_v)
+    put(case, "ranks", ranks_v)
+    for (k, _), val, g, pv in zip(pairs, vals, g_v, post):
+        put(case, f"var_{k}", val)
+        put(case, f"grad_{k}", g)
+        put(case, f"post_{k}", pv)
+    print(f"{case}: loss {loss_v:.6f}, mrr {mrr_v:.4f}")
+
+
 def main():
     trace_aggregators()
     trace_dense()
     trace_prediction()
     trace_supervised()
     trace_unsupervised()
+    trace_node2vec()
     feats, adj, degrees = _graph_fixture()
     put("graph", "features", feats)
     put("graph", "adj", adj)

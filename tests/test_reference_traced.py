@@ -429,3 +429,56 @@ def test_unsupervised_model_matches_reference():
             )
             close(stepped, g(case, f"post_{name}"), atol=2e-5,
                   what=f"unsup post-Adam {name}")
+
+
+# ------------------------------------------------- F. node2vec model
+
+def test_node2vec_matches_reference():
+    from graphsage_tpu.models.node2vec import node2vec_outputs
+    from graphsage_tpu.nn import prediction
+
+    case = "n2v"
+    params = {
+        "target": jnp.asarray(g(case, "var_target")),
+        "context": jnp.asarray(g(case, "var_context")),
+        "bias": jnp.asarray(g(case, "var_bias")),
+    }
+    b1 = jnp.asarray(g("graph", "batch"))
+    b2 = jnp.asarray(g(case, "batch2"))
+    negs = jnp.asarray(g(case, "neg_ids"))
+    B = b1.shape[0]
+
+    def loss_fn(p):
+        # node2vec_loss with the traced fixed negatives injected
+        # (models.py:478-487: summed xent with context bias / batch_size)
+        out1, out2, out2_bias, neg, neg_bias = node2vec_outputs(
+            p, b1, b2, negs
+        )
+        aff = jnp.sum(out1 * out2, axis=1) + out2_bias
+        neg_aff = jnp.dot(out1, neg.T) + neg_bias
+        true_xent = prediction.sigmoid_xent(jnp.ones_like(aff), aff)
+        neg_xent = prediction.sigmoid_xent(
+            jnp.zeros_like(neg_aff), neg_aff
+        )
+        loss = (jnp.sum(true_xent) + jnp.sum(neg_xent)) / B
+        aux = (out1, out2, neg)
+        return loss, aux
+
+    (lv, (out1, out2, neg)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True)(params)
+    close(lv, g(case, "loss"), atol=1e-5, what="n2v loss")
+
+    # bias-free MRR path (models.py:489-501)
+    aff = prediction.affinity(out1, out2)
+    naff = prediction.neg_cost(out1, neg)
+    ranks, mrr = prediction.mrr_and_ranks(aff, naff)
+    close(mrr, g(case, "mrr"), atol=1e-6, what="n2v mrr")
+    close(ranks, g(case, "ranks")[:, -1] + 1, what="n2v positive ranks")
+
+    # plain SGD (models.py:442): exact step, var -= lr * grad
+    for k in ("target", "context", "bias"):
+        close(grads[k], g(case, f"grad_{k}"), atol=1e-5, rtol=1e-4,
+              what=f"n2v grad {k}")
+        stepped = np.asarray(params[k]) - 0.5 * np.asarray(grads[k])
+        close(stepped, g(case, f"post_{k}"), atol=1e-6,
+              what=f"n2v post-SGD {k}")
