@@ -30,33 +30,25 @@ import json
 import os
 import sys
 import time
-import types
 
 import numpy as np
 
 import tensorflow.compat.v1 as tf
 
 tf.disable_v2_behavior()
-tf.contrib = types.SimpleNamespace(
-    layers=types.SimpleNamespace(
-        xavier_initializer=tf.glorot_uniform_initializer,
-        l2_regularizer=lambda scale: None,
-    ),
-    rnn=types.SimpleNamespace(BasicLSTMCell=None),
-)
-sys.modules["tensorflow"] = tf
-sys.path.insert(0, "/root/reference")
 
-flags = tf.app.flags
-flags.DEFINE_float("learning_rate", 0.01, "")
-flags.DEFINE_float("weight_decay", 0.0, "")
-flags.DEFINE_integer("neg_sample_size", 20, "")
-FLAGS = flags.FLAGS
-FLAGS(["reference_actual_accuracy"])
+# reuse trace_reference's tf.contrib shim (incl. the BasicLSTMCell
+# replica the seq aggregator needs) — importing it installs the shim
+# and the /root/reference sys.path entry
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import trace_reference  # noqa: F401,E402
+
+FLAGS = tf.app.flags.FLAGS
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+TRAIN_SEED = 123
 BATCH = 512
 FANOUTS = (25, 10)
 DIMS = (128, 128)
@@ -79,6 +71,9 @@ EPOCHS = {"proxy-ppi": 40, "proxy-reddit": 10}  # acceptance table settings
 FRAMEWORK_F1 = {
     ("proxy-ppi", "mean"): 0.5250,
     ("proxy-ppi", "gcn"): 0.5274,
+    ("proxy-ppi", "maxpool"): 0.6461,
+    ("proxy-ppi", "meanpool"): 0.6035,
+    ("proxy-ppi", "seq"): 0.5771,
     ("proxy-reddit", "mean"): 0.9833,
     ("proxy-reddit", "gcn"): 0.9849,
 }
@@ -166,7 +161,7 @@ def train_reference(name, agg, arrays, epochs):
     # (supervised_train.py:172-188)
 
     tf.reset_default_graph()
-    tf.set_random_seed(123)
+    tf.set_random_seed(TRAIN_SEED)
     FLAGS.weight_decay = 0.0
     FLAGS.learning_rate = 0.01
 
@@ -195,7 +190,7 @@ def train_reference(name, agg, arrays, epochs):
 
     sess = tf.Session()
     sess.run(tf.global_variables_initializer())
-    rng = np.random.default_rng(123)
+    rng = np.random.default_rng(TRAIN_SEED)
 
     t0 = time.time()
     steps = 0
@@ -318,9 +313,13 @@ def main():
                     help="run the unsupervised path + logistic probe "
                          "instead of the supervised models")
     ap.add_argument("--root", default="/tmp/graphsage_proxy_data")
+    ap.add_argument("--train_seed", type=int, default=123,
+                    help="tf init + epoch-shuffle seed (variance studies)")
     ap.add_argument("--out", default=os.path.join(
         REPO, "benchmarks", "REFERENCE_PARITY.md"))
     args = ap.parse_args()
+    global TRAIN_SEED
+    TRAIN_SEED = args.train_seed
 
     rows = []
     for name in args.datasets.split(","):
