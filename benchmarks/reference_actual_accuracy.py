@@ -305,6 +305,87 @@ def train_reference_unsup(name, arrays, max_steps=3000, out_dir=None):
     return steps, time.time() - t0
 
 
+def train_reference_n2v(name, arrays, graph, out_dir):
+    """The reference n2v path end-to-end (unsupervised_train.py:227-232,
+    324-372) at accuracy_acceptance.py's settings: nodevec_dim 50
+    (dim_1=25, doubled), SGD lr 2.0, 40 epochs over train-subgraph walk
+    pairs, then the val/test retrain (10 epochs over fresh full-graph
+    walks from val/test nodes, fixed_n2v pair pruning). The reference's
+    train-row freeze is DEAD CODE (it rebinds model.context_embeds after
+    opt_op was built — PARITY.md known deviations), so this runs the
+    retrain exactly as the reference executes it: opt_op over all rows.
+    Exports the target table as val-test embeddings for the probe."""
+    from graphsage import models as ref_models
+
+    from graphsage_tpu.data.minibatch import EdgeBatcher
+    from graphsage_tpu.data.walks import run_random_walks
+
+    (_feats, _train_adj, _full_adj, deg, _labels, _train_ids, _val_ids,
+     _test_ids, node_ids, _prefix, walk_pairs) = arrays
+    n = len(node_ids)
+
+    tf.reset_default_graph()
+    tf.set_random_seed(TRAIN_SEED)
+    FLAGS.neg_sample_size = 20
+
+    ph = {
+        "batch1": tf.placeholder(tf.int32, shape=(None,), name="batch1"),
+        "batch2": tf.placeholder(tf.int32, shape=(None,), name="batch2"),
+        "dropout": tf.placeholder_with_default(np.float32(0.0), [],
+                                               name="dropout"),
+        "batch_size": tf.placeholder(tf.int32, [], name="batch_size"),
+    }
+    model = ref_models.Node2VecModel(
+        ph, n + 1, deg.astype(np.float64), nodevec_dim=50, lr=2.0,
+    )
+
+    sess = tf.Session()
+    sess.run(tf.global_variables_initializer())
+    rng = np.random.default_rng(TRAIN_SEED)
+
+    def run_epochs(pairs, epochs, tag):
+        t0 = time.time()
+        steps = 0
+        for epoch in range(epochs):
+            perm = rng.permutation(len(pairs))
+            for i in range(0, len(perm), BATCH):
+                p = pairs[perm[i:i + BATCH]]
+                _, loss_v, mrr_v = sess.run(
+                    [model.opt_op, model.loss, model.mrr],
+                    feed_dict={ph["batch1"]: p[:, 0],
+                               ph["batch2"]: p[:, 1],
+                               ph["batch_size"]: len(p)},
+                )
+                steps += 1
+            if (epoch + 1) % 10 == 0:
+                print(f"[{name} n2v {tag}] epoch {epoch + 1}/{epochs} "
+                      f"loss {loss_v:.4f} mrr {mrr_v:.4f} "
+                      f"({time.time() - t0:.0f}s)", flush=True)
+        return steps
+
+    steps = run_epochs(walk_pairs, 40, "train")
+
+    # retrain: fresh walks from val/test nodes over the FULL graph,
+    # fixed_n2v pair pruning via our (reference-pinned) EdgeBatcher
+    evalnodes = np.flatnonzero(graph.is_val | graph.is_test)
+    pairs2 = run_random_walks(
+        graph.neighbors, evalnodes, rng=np.random.default_rng(TRAIN_SEED)
+    )
+    retrain = EdgeBatcher(
+        graph, deg, BATCH, context_pairs=pairs2, seed=TRAIN_SEED,
+        n2v_retrain=True, fixed_n2v=True,
+    )
+    steps += run_epochs(np.asarray(retrain.train_pairs), 10, "retrain")
+
+    target = sess.run(model.target_embeds)[:n]
+    sess.close()
+    os.makedirs(out_dir, exist_ok=True)
+    np.save(os.path.join(out_dir, "val.npy"), target)
+    with open(os.path.join(out_dir, "val.txt"), "w") as fp:
+        fp.write("\n".join(str(i) for i in node_ids) + "\n")
+    return steps
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--datasets", default="proxy-ppi,proxy-reddit")
@@ -312,6 +393,8 @@ def main():
     ap.add_argument("--unsup", action="store_true",
                     help="run the unsupervised path + logistic probe "
                          "instead of the supervised models")
+    ap.add_argument("--n2v", action="store_true",
+                    help="run the n2v/DeepWalk path + logistic probe")
     ap.add_argument("--root", default="/tmp/graphsage_proxy_data")
     ap.add_argument("--train_seed", type=int, default=123,
                     help="tf init + epoch-shuffle seed (variance studies)")
@@ -323,6 +406,32 @@ def main():
 
     rows = []
     for name in args.datasets.split(","):
+        if args.n2v:
+            from graphsage_tpu.data.io import load_data
+            from graphsage_tpu.evaluation import evaluate_embeddings
+
+            arrays = dataset_arrays(name, args.root, max_degree=100,
+                                    walks=True)
+            graph = load_data(arrays[9])
+            out_dir = os.path.join(args.root, "ref-n2v", name)
+            t0 = time.time()
+            steps = train_reference_n2v(name, arrays, graph, out_dir)
+            wall = time.time() - t0
+            cap = 15 if name == "proxy-reddit" else None
+            scores = evaluate_embeddings(arrays[9], out_dir, "test",
+                                         seed=1, sgd_max_iter=cap)
+            mic = scores.get("test_f1_pos", scores["test_f1"])
+            ours = {"proxy-ppi": 0.3758, "proxy-reddit": 0.9956}[name]
+            rows.append((name, "n2v + logreg", mic, float("nan"),
+                         ours, steps, wall))
+            print(json.dumps({
+                "dataset": name, "model": "n2v + logreg",
+                "reference_probe_f1_mic": round(float(mic), 4),
+                "framework_probe_f1_mic": ours,
+                "steps": steps, "wall_s": round(wall, 1),
+            }), flush=True)
+            write_report(rows, args.out)
+            continue
         if args.unsup:
             from graphsage_tpu.evaluation import evaluate_embeddings
 
