@@ -168,11 +168,21 @@ def trace_aggregators():
         ("agg_meanpool", MeanPoolingAggregator, dict(concat=True)),
         ("agg_twomaxpool", TwoMaxLayerPoolingAggregator, dict(concat=True)),
         ("agg_seq", SeqAggregator, dict(concat=True)),
+        # model_size="big" pins the 1024 pool-MLP / 512,1024 two-layer /
+        # 256 LSTM hidden dims (aggregators.py:139-150, 296-315, 386-389)
+        ("agg_maxpool_big", MaxPoolingAggregator,
+         dict(concat=True, model_size="big")),
+        ("agg_twomaxpool_big", TwoMaxLayerPoolingAggregator,
+         dict(concat=True, model_size="big")),
+        ("agg_seq_big", SeqAggregator, dict(concat=True,
+                                            model_size="big")),
     ]
     for case, cls, kw in cases:
         tf.reset_default_graph()
         tf.set_random_seed(123)
-        agg = cls(DIN, DOUT, model_size="small", **kw)
+        kw = dict(kw)
+        model_size = kw.pop("model_size", "small")
+        agg = cls(DIN, DOUT, model_size=model_size, **kw)
         sv = tf.constant(self_np)
         nv = tf.constant(neigh_np)
         out = agg((sv, nv))

@@ -106,6 +106,9 @@ AGG_CASES = [
     ("agg_meanpool", "meanpool", True),
     ("agg_twomaxpool", "twomaxpool", True),
     ("agg_seq", "seq", True),
+    ("agg_maxpool_big", "maxpool", True),
+    ("agg_twomaxpool_big", "twomaxpool", True),
+    ("agg_seq_big", "seq", True),
 ]
 
 
