@@ -76,6 +76,9 @@ FRAMEWORK_F1 = {
     ("proxy-ppi", "seq"): 0.5771,
     ("proxy-reddit", "mean"): 0.9833,
     ("proxy-reddit", "gcn"): 0.9849,
+    ("proxy-reddit", "maxpool"): 0.9607,
+    ("proxy-reddit", "meanpool"): 0.9700,
+    ("proxy-reddit", "seq"): 0.9197,
 }
 
 
@@ -144,7 +147,7 @@ def dataset_arrays(name: str, root: str, max_degree: int = MAX_DEGREE,
             )
     return (feats, train_adj, full_adj, deg, graph.labels,
             train_ids, val_ids, test_ids, graph.node_ids, prefix,
-            walk_pairs)
+            walk_pairs, graph)
 
 
 def train_reference(name, agg, arrays, epochs):
@@ -153,7 +156,7 @@ def train_reference(name, agg, arrays, epochs):
     from graphsage.supervised_models import SupervisedGraphsage
 
     (feats, train_adj, full_adj, deg, labels, train_ids, _val_ids,
-     test_ids, _node_ids, _prefix, _walks) = arrays
+     test_ids, _node_ids, _prefix, _walks, _graph) = arrays
     num_classes = labels.shape[1]
     sigmoid = bool(SPECS[name]["multilabel"])
     concat = agg != "gcn"
@@ -237,7 +240,7 @@ def train_reference_unsup(name, arrays, max_steps=3000, out_dir=None):
      _test_ids, node_ids, _prefix, walk_pairs) = arrays
 
     tf.reset_default_graph()
-    tf.set_random_seed(123)
+    tf.set_random_seed(TRAIN_SEED)
     FLAGS.weight_decay = 0.0
     FLAGS.learning_rate = 2e-6
     FLAGS.neg_sample_size = 20
@@ -266,7 +269,7 @@ def train_reference_unsup(name, arrays, max_steps=3000, out_dir=None):
 
     sess = tf.Session()
     sess.run(tf.global_variables_initializer())
-    rng = np.random.default_rng(123)
+    rng = np.random.default_rng(TRAIN_SEED)
 
     t0 = time.time()
     perm = rng.permutation(len(walk_pairs))
@@ -321,7 +324,7 @@ def train_reference_n2v(name, arrays, graph, out_dir):
     from graphsage_tpu.data.walks import run_random_walks
 
     (_feats, _train_adj, _full_adj, deg, _labels, _train_ids, _val_ids,
-     _test_ids, node_ids, _prefix, walk_pairs) = arrays
+     _test_ids, node_ids, _prefix, walk_pairs, _graph) = arrays
     n = len(node_ids)
 
     tf.reset_default_graph()
@@ -399,7 +402,10 @@ def main():
     ap.add_argument("--train_seed", type=int, default=123,
                     help="tf init + epoch-shuffle seed (variance studies)")
     ap.add_argument("--out", default=os.path.join(
-        REPO, "benchmarks", "REFERENCE_PARITY.md"))
+        REPO, "benchmarks", "REFERENCE_PARITY_RUN.md"),
+                    help="per-run report (the committed "
+                         "REFERENCE_PARITY.md is hand-curated — fold "
+                         "new rows in manually)")
     args = ap.parse_args()
     global TRAIN_SEED
     TRAIN_SEED = args.train_seed
@@ -407,12 +413,11 @@ def main():
     rows = []
     for name in args.datasets.split(","):
         if args.n2v:
-            from graphsage_tpu.data.io import load_data
             from graphsage_tpu.evaluation import evaluate_embeddings
 
             arrays = dataset_arrays(name, args.root, max_degree=100,
                                     walks=True)
-            graph = load_data(arrays[9])
+            graph = arrays[11]
             out_dir = os.path.join(args.root, "ref-n2v", name)
             t0 = time.time()
             steps = train_reference_n2v(name, arrays, graph, out_dir)

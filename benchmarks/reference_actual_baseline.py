@@ -29,29 +29,20 @@ import json
 import os
 import sys
 import time
-import types
 
 import numpy as np
 
 import tensorflow.compat.v1 as tf
 
 tf.disable_v2_behavior()
-tf.contrib = types.SimpleNamespace(
-    layers=types.SimpleNamespace(
-        xavier_initializer=tf.glorot_uniform_initializer,
-        l2_regularizer=lambda scale: None,
-    ),
-    rnn=types.SimpleNamespace(BasicLSTMCell=None),  # mean model: unused
-)
-sys.modules["tensorflow"] = tf
-sys.path.insert(0, "/root/reference")
 
-flags = tf.app.flags
-flags.DEFINE_float("learning_rate", 0.01, "")
-flags.DEFINE_float("weight_decay", 0.0, "")
-flags.DEFINE_integer("neg_sample_size", 20, "")
-FLAGS = flags.FLAGS
-FLAGS(["reference_actual_baseline"])
+# reuse trace_reference's tf.contrib shim + FLAGS + /root/reference path
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import trace_reference  # noqa: F401,E402
+
+FLAGS = tf.app.flags.FLAGS
+FLAGS.learning_rate = 0.01
+FLAGS.weight_decay = 0.0
 
 NUM_NODES = 100_000
 FEAT_DIM = 602

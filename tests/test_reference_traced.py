@@ -58,7 +58,7 @@ AGG_VAR_MAP = {  # TF vars dict key -> our param key
 }
 
 
-def agg_params_from(case_or_prefix, getter, agg_name):
+def agg_params_from(getter, agg_name):
     """Build our aggregator param pytree from traced reference vars."""
     p = {}
     if agg_name == "gcn":
@@ -116,7 +116,7 @@ AGG_CASES = [
 def test_aggregator_forward_and_grads_match_reference(case, name, concat):
     from graphsage_tpu.nn.aggregators import apply_aggregator
 
-    params = agg_params_from(case, lambda k: g(case, f"var_{k}"), name)
+    params = agg_params_from(lambda k: g(case, f"var_{k}"), name)
     self_vecs = jnp.asarray(g(case, "self_vecs"))
     neigh_vecs = jnp.asarray(g(case, "neigh_vecs"))
 
@@ -247,8 +247,7 @@ def _sup_setup(case, agg, concat, sigmoid, wd, id_dim):
     config = SupervisedConfig(sage=sage, num_classes=5,
                               sigmoid_loss=sigmoid, weight_decay=wd)
     aggs = [
-        agg_params_from(case, lambda k, li=li: g(case, f"var_agg{li}_{k}"),
-                        agg)
+        agg_params_from(lambda k, li=li: g(case, f"var_agg{li}_{k}"), agg)
         for li in range(n_layers)
     ]
     params = {
@@ -265,7 +264,7 @@ def _sup_setup(case, agg, concat, sigmoid, wd, id_dim):
     return config, params, features, adj, ids, labels
 
 
-def _flat_grad_pairs(case, agg, grads, id_dim):
+def _flat_grad_pairs(case, grads, id_dim):
     """(traced_name, our_grad) pairs mirroring trace_reference's var order."""
     pairs = []
     for li in range(len(grads["aggs"])):
@@ -318,12 +317,12 @@ def test_supervised_model_matches_reference(case, agg, concat, sigmoid,
     lv, grads = jax.value_and_grad(loss_fn)(params)
     close(lv, g(case, "loss"), atol=1e-5, what=f"{case} loss")
 
-    for tfname, ours in _flat_grad_pairs(case, agg, grads, id_dim):
+    for tfname, ours in _flat_grad_pairs(case, grads, id_dim):
         close(ours, g(case, f"grad_{tfname}"), atol=1e-4, rtol=1e-4,
               what=f"{case} grad {tfname}")
 
     # reference post-Adam trajectory from OUR grads (TF eps placement)
-    for tfname, ours in _flat_grad_pairs(case, agg, grads, id_dim):
+    for tfname, ours in _flat_grad_pairs(case, grads, id_dim):
         stepped = tf_adam_step(g(case, f"var_{tfname}"), np.asarray(ours))
         close(stepped, g(case, f"post_{tfname}"), atol=2e-5,
               what=f"{case} post-Adam {tfname}")
@@ -382,7 +381,7 @@ def test_unsupervised_model_matches_reference():
         model_size="small", sampler_mode="first_k",
     )
     aggs = [
-        agg_params_from(case, lambda k, li=li: g(case, f"var_agg{li}_{k}"),
+        agg_params_from(lambda k, li=li: g(case, f"var_agg{li}_{k}"),
                         "mean")
         for li in range(2)
     ]
