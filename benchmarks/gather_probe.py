@@ -480,7 +480,7 @@ def build_call(kind, dt, n_buf=2, tile_b=TILE_B, K=1024):
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(n_tiles,),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec((tile_b, F), lambda t, i: (t, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[scratch, pltpu.SemaphoreType.DMA((n_buf,
@@ -495,7 +495,7 @@ def build_call(kind, dt, n_buf=2, tile_b=TILE_B, K=1024):
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(n_tiles,),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec((tile_b, F), lambda t, i: (t, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[scratch, pltpu.SemaphoreType.DMA((n_buf,))],
@@ -512,7 +512,7 @@ def build_call(kind, dt, n_buf=2, tile_b=TILE_B, K=1024):
             num_scalar_prefetch=2,  # idx, ncold
             grid=(n_tiles,),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),   # full table (HBM)
+                pl.BlockSpec(memory_space=pl.ANY),   # full table (HBM)
                 hot_view,                                # hot block (VMEM)
             ],
             out_specs=pl.BlockSpec((tile_b, F), lambda t, i, n: (t, 0),
@@ -539,7 +539,7 @@ def build_call(kind, dt, n_buf=2, tile_b=TILE_B, K=1024):
             in_specs=[
                 pl.BlockSpec((tile_b, S), lambda t, i, n: (t, 0),
                              memory_space=pltpu.VMEM),   # raw idx
-                pl.BlockSpec(memory_space=pltpu.ANY),    # table (HBM)
+                pl.BlockSpec(memory_space=pl.ANY),    # table (HBM)
                 pl.BlockSpec(memory_space=pltpu.VMEM),   # hot block
             ],
             out_specs=pl.BlockSpec((tile_b, F), lambda t, i, n: (t, 0),
@@ -583,7 +583,7 @@ def build_call(kind, dt, n_buf=2, tile_b=TILE_B, K=1024):
             in_specs=[
                 pl.BlockSpec((tile_b, SW), lambda t, i, n: (t, 0),
                              memory_space=pltpu.VMEM),   # live mask
-                pl.BlockSpec(memory_space=pltpu.ANY),    # table (HBM)
+                pl.BlockSpec(memory_space=pl.ANY),    # table (HBM)
             ],
             out_specs=pl.BlockSpec((tile_b, F), lambda t, i, n: (t, 0),
                                    memory_space=pltpu.VMEM),

@@ -38,7 +38,7 @@ jax.config.update("jax_platforms", "cpu")
 
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
-from jax.experimental.shard_map import shard_map  # noqa: E402
+from jax import shard_map  # noqa: E402
 from jax.sharding import Mesh, PartitionSpec as P  # noqa: E402
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(
@@ -112,7 +112,7 @@ def build(halo: str, capacity_factor: float = 4.0,
         body, mesh=mesh,
         in_specs=(P(), P("graph"), P("graph"), P(), P()),
         out_specs=(P(), P()) if return_stats else P(),
-        check_rep=False,
+        check_vma=False,
     ))
     args = (params, jnp.asarray(feat_sh), jnp.asarray(adj_sh), ids,
             jax.random.key(1))

@@ -333,7 +333,7 @@ def fused_gather_mean(features, idx, interpret: bool = False,
             num_scalar_prefetch=2,
             grid=(n_tiles,),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(
                     (tile_b, S), lambda t, i_ref, n_ref: (t, 0),
                     memory_space=pltpu.VMEM,
@@ -355,7 +355,7 @@ def fused_gather_mean(features, idx, interpret: bool = False,
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(n_tiles,),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=out_spec,
             scratch_shapes=scratch_shapes,
         )

@@ -340,7 +340,7 @@ def make_dp_supervised_chunk_runner(
     _check_batch_divisible(mesh, batch_size, axis_name, None)
     import numpy as np
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     from graphsage_tpu.models.graphsage import (
         l2_normalize,
@@ -437,7 +437,7 @@ def make_dp_supervised_chunk_runner(
             mesh=mesh,
             in_specs=(rep, rep, rep, rep, rep, rep, rep, rep, rep),
             out_specs=(rep, rep, rep, sh, sh),
-            check_rep=False,
+            check_vma=False,
         ),
         donate_argnums=(0, 1),
     )
@@ -459,7 +459,7 @@ def make_dp_unsupervised_chunk_runner(
 
     _check_batch_divisible(mesh, batch_size, axis_name, None)
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     from graphsage_tpu.models.graphsage import (
         l2_normalize,
@@ -555,7 +555,7 @@ def make_dp_unsupervised_chunk_runner(
             mesh=mesh,
             in_specs=(rep,) * 10,
             out_specs=(rep, rep, rep, rep, rep),
-            check_rep=False,
+            check_vma=False,
         ),
         donate_argnums=(0, 1),
     )

@@ -23,7 +23,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 import optax
 
@@ -728,7 +728,7 @@ def make_sharded_supervised_step(
         mesh=mesh,
         in_specs=(p_spec, o_spec, rep, tbl, tbl, sh, sh, sh),
         out_specs=(p_spec, o_spec, rep, sh, rep),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(mapped, donate_argnums=(0, 1))
 
@@ -849,7 +849,7 @@ def make_sharded_supervised_chunk_runner(
             mesh=mesh,
             in_specs=(p_spec, o_spec, rep, tbl, tbl, rep, rep, rep, rep),
             out_specs=(p_spec, o_spec, rep, sh, sh, rep),
-            check_rep=False,
+            check_vma=False,
         ),
         donate_argnums=(0, 1),
     )
@@ -890,7 +890,7 @@ def make_sharded_supervised_eval(
         mesh=mesh,
         in_specs=(p_spec, sh, sh, sh, sh, sh, rep),
         out_specs=(rep, sh, rep),
-        check_rep=False,
+        check_vma=False,
     ))
 
 
@@ -1006,7 +1006,7 @@ def make_sharded_unsupervised_chunk_runner(
             in_specs=(p_spec, o_spec, rep, rep, tbl, tbl, rep, rep, rep,
                       rep),
             out_specs=(p_spec, o_spec, rep, rep, rep, rep),
-            check_rep=False,
+            check_vma=False,
         ),
         donate_argnums=(0, 1),
     )
@@ -1043,7 +1043,7 @@ def make_sharded_unsup_embed(
         mesh=mesh,
         in_specs=(p_spec, sh, sh, sh, rep),
         out_specs=(sh, rep),
-        check_rep=False,
+        check_vma=False,
     ))
 
 
@@ -1096,7 +1096,7 @@ def make_sharded_unsupervised_eval(
         mesh=mesh,
         in_specs=(p_spec, sh, sh, sh, sh, sh, rep, rep),
         out_specs=(rep, rep, rep),
-        check_rep=False,
+        check_vma=False,
     ))
 
 
@@ -1178,7 +1178,7 @@ def make_sharded_unsupervised_step(
         mesh=mesh,
         in_specs=(p_spec, o_spec, rep, sh, sh, sh, sh, sh, rep),
         out_specs=(p_spec, o_spec, rep, rep, sh, rep),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(mapped, donate_argnums=(0, 1))
 
@@ -1280,7 +1280,7 @@ def make_sharded_supervised_eval_sweep(
         mesh=mesh,
         in_specs=(p_spec, sh, sh, rep, rep, rep),
         out_specs=(rep, sh_out, rep),
-        check_rep=False,
+        check_vma=False,
     ))
 
 
@@ -1379,7 +1379,7 @@ def make_sharded_unsup_eval_sweep(
         mesh=mesh,
         in_specs=(p_spec, sh, sh, rep, rep, rep),
         out_specs=(rep, rep, rep),
-        check_rep=False,
+        check_vma=False,
     ))
 
 
@@ -1447,5 +1447,5 @@ def make_sharded_embed_sweep(
         mesh=mesh,
         in_specs=(p_spec, sh, sh, rep, rep),
         out_specs=(sh_out, rep),
-        check_rep=False,
+        check_vma=False,
     ))

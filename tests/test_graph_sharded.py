@@ -6,7 +6,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from graphsage_tpu.parallel.graph_sharded import (
@@ -33,7 +33,7 @@ def _replicated_gather(mesh, table, idx, capacity):
         mesh=mesh,
         in_specs=(P("graph"), P()),
         out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     )
     return np.asarray(f(jnp.asarray(local_t), jnp.asarray(idx)))
 
@@ -59,7 +59,7 @@ def test_exchange_gather_block_layout(mesh, np_rng):
         mesh=mesh,
         in_specs=(P("graph"), P()),
         out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     )
     out = np.asarray(f(jnp.asarray(local_t), jnp.asarray(idx)))
     np.testing.assert_allclose(out, table[idx], rtol=1e-6)
@@ -112,7 +112,7 @@ def test_exchange_gather_capacity_overflow_zeros(mesh):
         mesh=mesh,
         in_specs=(P("graph"), P()),
         out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     )
     out = np.asarray(f(jnp.asarray(local_t), jnp.asarray(np.zeros(6, np.int32))))
     assert (out[:3] == 1.0).all()
@@ -131,7 +131,7 @@ def test_exchange_gather_reports_dropped(mesh):
         mesh=mesh,
         in_specs=(P("graph"), P()),
         out_specs=(P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     local_t, _ = shard_rows(table, D)
     out, dropped = f(jnp.asarray(local_t), jnp.asarray(idx))
@@ -159,7 +159,7 @@ def test_exchange_gather_split_local_never_drops_own_rows(mesh):
         mesh=mesh,
         in_specs=(P("graph"), P()),
         out_specs=(P("graph"), P("graph")),
-        check_rep=False,
+        check_vma=False,
     )
     local_t, _ = shard_rows(table, D)
     out, dropped = f(jnp.asarray(local_t), jnp.asarray(idx))
@@ -188,7 +188,7 @@ def test_exchange_gather_split_matches_blocking(mesh, np_rng):
             mesh=mesh,
             in_specs=(P("graph"), P()),
             out_specs=P(),
-            check_rep=False,
+            check_vma=False,
         )
         return np.asarray(f(jnp.asarray(local_t), jnp.asarray(idx)))
 
@@ -219,7 +219,7 @@ def test_global_masked_mrr_ignores_empty_shards(mesh):
     out = shard_map(
         f, mesh=mesh,
         in_specs=(P("graph"), P("graph"), P("graph")),
-        out_specs=P(), check_rep=False,
+        out_specs=P(), check_vma=False,
     )(jnp.asarray(aff), jnp.asarray(neg_aff), jnp.asarray(mask))
     np.testing.assert_allclose(float(out), (1.0 + 1.0 / 3.0) / 2.0,
                                rtol=1e-6)
@@ -809,7 +809,7 @@ def test_halo_overlap_matches_blocking_bitwise(mesh, toy_graph):
             in_specs=({"embeds": emb_spec, "aggs": P(), "head": P()},
                       P("graph"), P("graph"), P()),
             out_specs=(P(), emb_spec, P()),
-            check_rep=False,
+            check_vma=False,
         )
         out, gemb, gw = f(params, jnp.asarray(feat_sh),
                           jnp.asarray(adj_sh), ids)
@@ -940,7 +940,7 @@ def test_exchange_gather_remote_only_zeroes_local(mesh, np_rng):
 
     g = shard_map(
         f, mesh=mesh, in_specs=(P("graph"), P()),
-        out_specs=P(None), check_rep=False,
+        out_specs=P(None), check_vma=False,
     )
     full = g(jnp.asarray(local_t), jnp.asarray(idx))
     np.testing.assert_allclose(np.asarray(full), table[idx], rtol=1e-6)
