@@ -233,6 +233,27 @@ def aggregate_pyramid(
     return hidden[0]
 
 
+_FUSED_DROPOUT_WARNED = False
+
+
+def _warn_fused_dropout_once():
+    global _FUSED_DROPOUT_WARNED
+    if _FUSED_DROPOUT_WARNED:
+        return
+    _FUSED_DROPOUT_WARNED = True
+    import warnings
+
+    warnings.warn(
+        "dropout > 0 disables the fused inner-hop gather-mean kernel "
+        "(the reference drops individual neighbor rows pre-mean, which "
+        "the pre-reduced kernel cannot express); training falls back to "
+        "the XLA take path, measured ~2x slower per step at the Reddit "
+        "shape (benchmarks/KERNEL_NOTES.md). Set --dropout 0 (the "
+        "reference's default) to keep the fused path.",
+        stacklevel=3,
+    )
+
+
 def sage_embed(
     params,
     features,
@@ -261,13 +282,22 @@ def sage_embed(
     # gather+MLP+pool kernel for the pooled aggregators was built and
     # measured speed-parity with XLA at the Reddit pool shape, so it
     # was removed — benchmarks/KERNEL_NOTES.md.)
-    use_fused = (
+    fusable = (
         config.fused_gather
         and config.aggregator in ("mean", "gcn")
         and features is not None
         and config.feature_dim > 0
-        and (deterministic or config.dropout == 0.0)
     )
+    use_fused = fusable and (deterministic or config.dropout == 0.0)
+    if fusable and not use_fused:
+        # The reference drops individual neighbor rows BEFORE the mean
+        # (aggregators.py:52-53), which the pre-reduced kernel cannot
+        # express — fall back to the XLA take path, measured ~2x slower
+        # per training step at the Reddit shape (benchmarks/
+        # KERNEL_NOTES.md "Chunked-mode A/B": 2.69 -> ~5.4 ms/step).
+        # Warn once per process, at trace time, so users setting
+        # --dropout on real-data recipes see the cost.
+        _warn_fused_dropout_once()
     last_mean = None
     if use_fused:
         from graphsage_tpu.ops.gather import fused_gather_mean
