@@ -237,7 +237,7 @@ def train_reference_unsup(name, arrays, max_steps=3000, out_dir=None):
     from graphsage.neigh_samplers import UniformNeighborSampler
 
     (feats, train_adj, full_adj, deg, _labels, _train_ids, _val_ids,
-     _test_ids, node_ids, _prefix, walk_pairs) = arrays
+     _test_ids, node_ids, _prefix, walk_pairs, _graph) = arrays
 
     tf.reset_default_graph()
     tf.set_random_seed(TRAIN_SEED)

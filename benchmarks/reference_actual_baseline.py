@@ -132,6 +132,7 @@ def main():
         "sec_per_step": round(dt, 5),
         "device": "cpu",
         "framework": "tensorflow " + tf.__version__ + " (compat.v1 graph)",
+        "source": "actual",
         "provenance": (
             "measured by running the REFERENCE CODE ITSELF "
             "(/root/reference/graphsage SupervisedGraphsage-mean, "

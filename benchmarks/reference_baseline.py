@@ -165,8 +165,17 @@ def main():
         "batch": BATCH, "fanouts": list(FANOUTS),
         "max_degree": MAX_DEGREE, "num_classes": NUM_CLASSES,
     }
-    if "REFERENCE CODE ITSELF" in prior.get("provenance", ""):
-        result = {**prior, "reenactment_edges_per_sec": rate,
+    # Key the primary-vs-secondary decision on the structured "source"
+    # field (written by reference_actual_baseline.py), not on free-text
+    # provenance — rewording the provenance string must never demote
+    # the actual-code denominator back to the re-enactment rate.
+    # Legacy substring check kept only for files written before the
+    # field existed.
+    is_actual = (prior.get("source") == "actual"
+                 or "REFERENCE CODE ITSELF" in prior.get("provenance", ""))
+    if is_actual:
+        result = {**prior, "source": "actual",
+                  "reenactment_edges_per_sec": rate,
                   "reenactment_sec_per_step": round(dt, 5)}
     else:
         result = {
@@ -175,6 +184,7 @@ def main():
             "device": "cpu",
             "framework": "tensorflow " + tf.__version__
             + " (compat.v1 graph)",
+            "source": "reenactment",
             "provenance": reenact_prov,
             "reenactment_edges_per_sec": rate,
             "shape": shape,
