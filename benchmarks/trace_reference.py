@@ -548,6 +548,69 @@ def trace_node2vec():
     print(f"{case}: loss {loss_v:.6f}, mrr {mrr_v:.4f}")
 
 
+def trace_trajectory():
+    """Multi-step Adam TRAINING TRAJECTORIES for the pooled/seq
+    aggregators (the rows where end-to-end seed variance is largest —
+    benchmarks/REFERENCE_PARITY.md): T=8 optimizer steps alternating two
+    batches, so from step 2 on every forward/backward runs on params the
+    previous steps evolved. Extends the 1-step Adam parity of
+    trace_supervised into a genuine trajectory oracle: per-step losses
+    plus the final variables after all T clip±5+Adam updates
+    (supervised_models.py:94-100).
+
+    NB: on the constant-row graph fixture every sampled neighbor of a
+    node is identical, so max-pool == mean-pool exactly (and max's
+    tie-splitting gradient == mean's 1/S): the maxpool/meanpool
+    trajectories pin the shared MLP/combine/optimizer math through
+    time, while the max-vs-mean REDUCE semantics stay pinned by the
+    section-A aggregator traces, whose injected neighbors vary."""
+    from graphsage.supervised_models import SupervisedGraphsage
+
+    feats, adj, degrees = _graph_fixture()
+    rng = np.random.default_rng(29)
+    batch_b = np.array([1, 2, 4, 6, 9, 10], dtype=np.int32)
+    labels_a = np.eye(C, dtype=np.float32)[rng.integers(0, C, len(BATCH))]
+    labels_b = np.eye(C, dtype=np.float32)[rng.integers(0, C, len(batch_b))]
+    T = 8
+    for case, agg_type in [("traj_meanpool", "meanpool"),
+                           ("traj_maxpool", "maxpool"),
+                           ("traj_seq", "seq")]:
+        tf.reset_default_graph()
+        tf.set_random_seed(123)
+        FLAGS.weight_decay = 0.0
+        FLAGS.learning_rate = 0.01
+        ph = _placeholders(supervised=True)
+        adj_var = tf.Variable(tf.constant(adj), trainable=False)
+        model = SupervisedGraphsage(
+            C, ph, feats[:, :F], adj_var, degrees,
+            _layer_infos(adj_var, 2), concat=True,
+            aggregator_type=agg_type, model_size="small",
+            sigmoid_loss=False, identity_dim=0,
+        )
+        pairs = _collect_model_vars(model, identity=False)
+        losses = []
+        with tf.Session() as sess:
+            sess.run(tf.global_variables_initializer())
+            vals = sess.run([v for _, v in pairs])
+            for t in range(T):
+                ids = BATCH if t % 2 == 0 else batch_b
+                lab = labels_a if t % 2 == 0 else labels_b
+                feed = {ph["batch"]: ids, ph["labels"]: lab}
+                # loss fetches the PRE-update value within the same run
+                lv, _ = sess.run([model.loss, model.opt_op],
+                                 feed_dict=feed)
+                losses.append(lv)
+            post = sess.run([v for _, v in pairs])
+        put(case, "batch_b", batch_b)
+        put(case, "labels_a", labels_a)
+        put(case, "labels_b", labels_b)
+        put(case, "losses", np.asarray(losses, np.float32))
+        for (k, _), val, pv in zip(pairs, vals, post):
+            put(case, f"var_{k}", val)
+            put(case, f"post_{k}", pv)
+        print(f"{case}: {T}-step losses {losses[0]:.6f} -> {losses[-1]:.6f}")
+
+
 def main():
     trace_aggregators()
     trace_dense()
@@ -555,6 +618,7 @@ def main():
     trace_supervised()
     trace_unsupervised()
     trace_node2vec()
+    trace_trajectory()
     feats, adj, degrees = _graph_fixture()
     put("graph", "features", feats)
     put("graph", "adj", adj)

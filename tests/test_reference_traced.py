@@ -363,6 +363,92 @@ def test_supervised_optax_step_within_eps_bound_of_reference():
               what=f"optax vs TF adam {tfname}")
 
 
+TRAJ_CASES = [
+    ("traj_meanpool", "meanpool"),
+    ("traj_maxpool", "maxpool"),
+    ("traj_seq", "seq"),
+]
+
+
+@pytest.mark.parametrize("case,agg", TRAJ_CASES)
+def test_supervised_trajectory_matches_reference(case, agg):
+    """T=8 Adam steps alternating two batches vs the reference code's own
+    executed trajectory: every step's loss (computed on the params the
+    previous steps evolved) and the final variables must match. This is
+    the multi-step extension of the 1-step parity — the strongest
+    semantic pin available for the pooled/seq aggregators, whose
+    end-to-end F1 carries the most seed variance
+    (benchmarks/REFERENCE_PARITY.md)."""
+    from graphsage_tpu.models.graphsage import LayerInfo, SAGEConfig
+    from graphsage_tpu.models.supervised import (
+        SupervisedConfig,
+        supervised_loss,
+    )
+
+    sage = SAGEConfig(
+        layers=(LayerInfo(3, 6), LayerInfo(2, 6)),
+        feature_dim=8, aggregator=agg, concat=True, model_size="small",
+        num_nodes=12, sampler_mode="first_k",
+    )
+    config = SupervisedConfig(sage=sage, num_classes=5,
+                              sigmoid_loss=False, weight_decay=0.0)
+    aggs = [
+        agg_params_from(lambda k, li=li: g(case, f"var_agg{li}_{k}"), agg)
+        for li in range(2)
+    ]
+    params = {
+        "aggs": aggs,
+        "head": {"w": jnp.asarray(g(case, "var_head_weights")),
+                 "b": jnp.asarray(g(case, "var_head_bias"))},
+    }
+    features = jnp.asarray(g("graph", "features"))
+    adj = jnp.asarray(g("graph", "adj"))
+    ids_a = jnp.asarray(g("graph", "batch"))
+    ids_b = jnp.asarray(g(case, "batch_b"))
+    labels_a = jnp.asarray(g(case, "labels_a"))
+    labels_b = jnp.asarray(g(case, "labels_b"))
+    losses_ref = g(case, "losses")
+    rng = jax.random.key(0)
+    mask = jnp.ones((ids_a.shape[0],), jnp.float32)
+
+    # TF1 AdamOptimizer with persistent slots (the reference's opt_op:
+    # clip ±5 then Adam, supervised_models.py:96-100), run in f64-free
+    # numpy exactly as TF's ApplyAdam kernel does per step t (1-indexed):
+    # lr_t = lr*sqrt(1-b2^t)/(1-b1^t); var -= lr_t*m/(sqrt(v)+eps)
+    lr, b1, b2, eps = 0.01, 0.9, 0.999, 1e-8
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    m = [np.zeros_like(np.asarray(leaf)) for leaf in leaves]
+    v = [np.zeros_like(np.asarray(leaf)) for leaf in leaves]
+
+    step_fn = jax.jit(jax.value_and_grad(
+        lambda p, ids, labels: supervised_loss(
+            p, features, adj, ids, labels, mask, rng, config,
+            deterministic=True)[0]
+    ))
+    for t in range(len(losses_ref)):
+        ids = ids_a if t % 2 == 0 else ids_b
+        labels = labels_a if t % 2 == 0 else labels_b
+        lv, grads = step_fn(params, ids, labels)
+        close(lv, losses_ref[t], atol=2e-4, rtol=1e-4,
+              what=f"{case} step-{t} loss")
+        glv = jax.tree_util.tree_leaves(grads)
+        plv = jax.tree_util.tree_leaves(params)
+        lr_t = lr * np.sqrt(1 - b2 ** (t + 1)) / (1 - b1 ** (t + 1))
+        new_leaves = []
+        for i, (pl, gl) in enumerate(zip(plv, glv)):
+            gc = np.clip(np.asarray(gl, np.float32), -5.0, 5.0)
+            m[i] = b1 * m[i] + (1 - b1) * gc
+            v[i] = b2 * v[i] + (1 - b2) * gc * gc
+            new_leaves.append(jnp.asarray(
+                np.asarray(pl) - lr_t * m[i] / (np.sqrt(v[i]) + eps)
+            ))
+        params = jax.tree_util.tree_unflatten(treedef, new_leaves)
+
+    for tfname, ours in _flat_grad_pairs(case, params, 0):
+        close(ours, g(case, f"post_{tfname}"), atol=5e-4, rtol=5e-4,
+              what=f"{case} final {tfname} after {len(losses_ref)} steps")
+
+
 # --------------------------------------------- E. unsupervised model
 
 def test_unsupervised_model_matches_reference():
