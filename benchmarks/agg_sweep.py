@@ -58,7 +58,13 @@ CONFIGS = {
     "gcn":          ("gcn",      "small", True,  "zipf",    0, False),
     "maxpool":      ("maxpool",  "small", False, "zipf",    0, False),
     "meanpool":     ("meanpool", "small", False, "zipf",    0, False),
+    "maxpool_fused":  ("maxpool",  "small", True, "zipf",   0, False),
+    "meanpool_fused": ("meanpool", "small", True, "zipf",   0, False),
+    "maxpool_big_fused": ("maxpool", "big", True, "zipf",   0, False),
+    "meanpool_big_fused": ("meanpool", "big", True, "zipf", 0, False),
     "seq":          ("seq",      "small", False, "zipf",    0, False),
+    "seq_fused":    ("seq",      "small", True,  "zipf",    0, False),
+    "seq_big_fused": ("seq",     "big",   True,  "zipf",    0, False),
     "maxpool_big":  ("maxpool",  "big",   False, "zipf",    0, False),
     "meanpool_big": ("meanpool", "big",   False, "zipf",    0, False),
     "seq_big":      ("seq",      "big",   False, "zipf",    0, False),

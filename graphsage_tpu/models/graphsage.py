@@ -57,6 +57,11 @@ class SAGEConfig:
     sampler_mode: str = "shared_perm"  # reference parity + fast; or "independent"
     fused_gather: bool = False  # Pallas gather+mean for the innermost hop
     dedup_gather: bool = False  # skip duplicate-sample DMAs in the kernel
+    # opt-in experiment: materialize the innermost-hop rows via the
+    # direct HBM->HBM row-DMA kernel instead of jnp.take. Measured at
+    # PARITY with take in chunked training (maxpool 10.80 vs 10.75 ms,
+    # seq 10.85 vs 10.27 — KERNEL_NOTES round-5), so off by default.
+    rows_gather: bool = False
     # P2 row-ownership map: "strided" (node id % n_shards — spreads
     # degree-sorted hubs across shards, small exchange capacity) or
     # "block" (contiguous ranges). See parallel/graph_sharded.py.
@@ -208,6 +213,10 @@ def aggregate_pyramid(
                     # gcn recombines the pre-reduced neighbor mean with
                     # self: (S*mean + self)/(S+1) — needs S
                     extra = {"n_samples": fanouts[0]}
+                elif config.aggregator in ("maxpool", "meanpool"):
+                    # already reduce(relu(mlp(x))) — [B*support, H] from
+                    # the fused kernel; skip the in-aggregator MLP
+                    extra = {"pre_pooled": True}
             else:
                 neigh = hidden[hop + 1].reshape(
                     batch_size * support[hop],
@@ -278,26 +287,54 @@ def sage_embed(
     # materializes the gather — valid in training too, since features
     # carry no gradient. gcn's self-inclusive mean recombines from the
     # same reduced mean as (S*mean + self)/(S+1) (aggregators.py
-    # apply_gcn), so it rides the same kernel. (A fused
-    # gather+MLP+pool kernel for the pooled aggregators was built and
-    # measured speed-parity with XLA at the Reddit pool shape, so it
-    # was removed — benchmarks/KERNEL_NOTES.md.)
+    # apply_gcn), so it rides the same kernel. The pooled aggregators
+    # ride their own fused gather+MLP+pool kernel (ops/pool.py) with a
+    # custom VJP for training — resurrected after the round-5 chunked-
+    # mode sweep showed the XLA pooled path collapsing 3-4x
+    # (benchmarks/KERNEL_NOTES.md round-5).
     fusable = (
         config.fused_gather
         and config.aggregator in ("mean", "gcn")
         and features is not None
         and config.feature_dim > 0
     )
+    # The meanpool analogue: gather -> per-neighbor MLP -> mean pool
+    # fused in one kernel with a custom VJP (ops/pool.py) — measured
+    # 12-24% faster than the XLA path in chunked mode. maxpool is NOT
+    # routed here: its tie-mask backward re-reads the residual twice
+    # and measured SLOWER than XLA (KERNEL_NOTES round-5); it rides the
+    # row-gather kernel below instead. The MLP mixes feature columns,
+    # so the identity-embedding column split used by the mean path
+    # cannot apply — guarded to identity_dim == 0.
+    pool_fusable = (
+        config.fused_gather
+        and config.aggregator == "meanpool"
+        and features is not None
+        and config.feature_dim > 0
+        and config.identity_dim == 0
+    )
     use_fused = fusable and (deterministic or config.dropout == 0.0)
-    if fusable and not use_fused:
+    use_fused_pool = pool_fusable and (deterministic or config.dropout == 0.0)
+    if (fusable or pool_fusable) and not (use_fused or use_fused_pool):
         # The reference drops individual neighbor rows BEFORE the mean
-        # (aggregators.py:52-53), which the pre-reduced kernel cannot
-        # express — fall back to the XLA take path, measured ~2x slower
-        # per training step at the Reddit shape (benchmarks/
-        # KERNEL_NOTES.md "Chunked-mode A/B": 2.69 -> ~5.4 ms/step).
-        # Warn once per process, at trace time, so users setting
+        # (aggregators.py:52-53), which the pre-reduced kernels cannot
+        # express — fall back to the materializing row-gather path
+        # below. Warn once per process, at trace time, so users setting
         # --dropout on real-data recipes see the cost.
         _warn_fused_dropout_once()
+    # Opt-in (rows_gather): paths that need the individual innermost-hop
+    # rows (maxpool/seq/twomaxpool, or mean/gcn/meanpool forced off the
+    # pre-reduced kernels by dropout) can gather them with the direct
+    # HBM->HBM row-DMA kernel — a semantically exact jnp.take
+    # replacement (ops/gather.py::fused_gather_rows). Measured at take
+    # parity in chunked training (KERNEL_NOTES round-5), hence not the
+    # default.
+    use_rows = (
+        config.rows_gather
+        and features is not None
+        and config.feature_dim > 0
+        and not (use_fused or use_fused_pool)
+    )
     last_mean = None
     if use_fused:
         from graphsage_tpu.ops.gather import fused_gather_mean
@@ -323,6 +360,37 @@ def sage_embed(
             gather_features(params, features, s, config)
             for s in samples[:-1]
         ] + [None]
+    elif use_fused_pool:
+        from graphsage_tpu.ops.pool import gather_mlp_pool_train
+
+        inner_fanout = config.fanouts[0]
+        idx2 = samples[-1].reshape(-1, inner_fanout)
+        mlp0 = params["aggs"][0]["mlp"][0]
+        last_mean = gather_mlp_pool_train(
+            "max" if config.aggregator == "maxpool" else "mean",
+            features, idx2, mlp0["w"], mlp0["b"],
+        )
+        hidden = [
+            gather_features(params, features, s, config)
+            for s in samples[:-1]
+        ] + [None]
+    elif use_rows:
+        from graphsage_tpu.ops.gather import fused_gather_rows
+
+        inner_fanout = config.fanouts[0]
+        idx2 = samples[-1].reshape(-1, inner_fanout)
+        rows = fused_gather_rows(features, idx2)
+        if rows.shape[1] != config.feature_dim:
+            rows = rows[:, : config.feature_dim]
+        if config.identity_dim > 0:
+            # identity columns stay on the differentiable XLA take
+            # (the table needs gradients; the kernel has no VJP)
+            id_rows = jnp.take(params["embeds"], samples[-1], axis=0)
+            rows = jnp.concatenate([id_rows, rows], axis=1)
+        hidden = [
+            gather_features(params, features, s, config)
+            for s in samples[:-1]
+        ] + [rows]
     else:
         hidden = [
             gather_features(params, features, s, config) for s in samples

@@ -137,18 +137,23 @@ def _init_pool(key, input_dim, output_dim, hidden_dims, bias):
 
 
 def _apply_pool(params, self_vecs, neigh_vecs, reduce_fn, *, act, concat,
-                dropout_rate, rng, deterministic):
+                dropout_rate, rng, deterministic, pre_pooled=False):
     """``neigh_vecs`` is [n, S, d]: per-neighbor MLP, then reduce over S
-    (reference aggregators.py:119-273)."""
-    n, s, d = neigh_vecs.shape
-    h = neigh_vecs.reshape(n * s, d)
-    rngs = _split(rng, len(params["mlp"]))
-    for layer, r in zip(params["mlp"], rngs):
-        h = apply_dense(
-            layer, h, act=jax.nn.relu, dropout_rate=dropout_rate,
-            rng=r, deterministic=deterministic,
-        )
-    h = reduce_fn(h.reshape(n, s, -1), axis=1)
+    (reference aggregators.py:119-273). With ``pre_pooled`` it is the
+    already-reduced [n, H] MLP output (the fused gather->MLP->pool
+    kernel's result, ops/pool.py) and the MLP/reduce are skipped."""
+    if pre_pooled:
+        h = neigh_vecs
+    else:
+        n, s, d = neigh_vecs.shape
+        h = neigh_vecs.reshape(n * s, d)
+        rngs = _split(rng, len(params["mlp"]))
+        for layer, r in zip(params["mlp"], rngs):
+            h = apply_dense(
+                layer, h, act=jax.nn.relu, dropout_rate=dropout_rate,
+                rng=r, deterministic=deterministic,
+            )
+        h = reduce_fn(h.reshape(n, s, -1), axis=1)
     from_neighs = jnp.dot(h, params["neigh_w"],
                           preferred_element_type=jnp.float32)
     from_self = jnp.dot(self_vecs, params["self_w"],
@@ -162,10 +167,11 @@ def init_maxpool(key, input_dim, output_dim, model_size="small", bias=False):
 
 
 def apply_maxpool(params, self_vecs, neigh_vecs, *, act, concat,
-                  dropout_rate=0.0, rng=None, deterministic=True):
+                  dropout_rate=0.0, rng=None, deterministic=True,
+                  pre_pooled=False):
     return _apply_pool(params, self_vecs, neigh_vecs, jnp.max, act=act,
                        concat=concat, dropout_rate=dropout_rate, rng=rng,
-                       deterministic=deterministic)
+                       deterministic=deterministic, pre_pooled=pre_pooled)
 
 
 def init_meanpool(key, input_dim, output_dim, model_size="small", bias=False):
@@ -174,10 +180,11 @@ def init_meanpool(key, input_dim, output_dim, model_size="small", bias=False):
 
 
 def apply_meanpool(params, self_vecs, neigh_vecs, *, act, concat,
-                   dropout_rate=0.0, rng=None, deterministic=True):
+                   dropout_rate=0.0, rng=None, deterministic=True,
+                   pre_pooled=False):
     return _apply_pool(params, self_vecs, neigh_vecs, jnp.mean, act=act,
                        concat=concat, dropout_rate=dropout_rate, rng=rng,
-                       deterministic=deterministic)
+                       deterministic=deterministic, pre_pooled=pre_pooled)
 
 
 def init_twomaxpool(key, input_dim, output_dim, model_size="small", bias=False):

@@ -366,3 +366,122 @@ def fused_gather_mean(features, idx, interpret: bool = False,
             kernel, grid_spec=grid_spec, out_shape=out_shape, **params
         )(idx, feats_view)
     return out[:B] if pad else out
+
+
+# ------------------------------------------------- direct row gather
+
+def _gather_rows_kernel(idx_ref, feat_ref, out_ref, sems,
+                        *, S, tile_b, n_buf):
+    """Materializing gather via direct HBM->HBM row DMAs: no VMEM
+    staging, no per-tile output block copies — each sampled row is one
+    async copy from the feature table to its output slot. The grid only
+    paces issue/wait so at most n_buf tiles of DMAs are in flight."""
+    t = pl.program_id(0)
+    n_tiles = pl.num_programs(0)
+
+    def issue(tile, slot):
+        def body(r, _):
+            row = tile * tile_b + r
+            for s in range(S):
+                pltpu.make_async_copy(
+                    feat_ref.at[idx_ref[row, s]],
+                    out_ref.at[row * S + s],
+                    sems.at[slot, r],
+                ).start()
+            return 0
+
+        jax.lax.fori_loop(0, tile_b, body, 0)
+
+    def wait(tile, slot):
+        def body(r, _):
+            row = tile * tile_b + r
+            for s in range(S):
+                pltpu.make_async_copy(
+                    feat_ref.at[0], out_ref.at[row * S + s],
+                    sems.at[slot, r],
+                ).wait()
+            return 0
+
+        jax.lax.fori_loop(0, tile_b, body, 0)
+
+    slot = jax.lax.rem(t, n_buf)
+
+    @pl.when(t == 0)
+    def _():
+        for k in range(n_buf - 1):
+            @pl.when(k < n_tiles)
+            def _():
+                issue(k, k)
+
+    @pl.when(t + n_buf - 1 < n_tiles)
+    def _():
+        issue(t + n_buf - 1, jax.lax.rem(t + n_buf - 1, n_buf))
+
+    wait(t, slot)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "tile_b", "n_buf")
+)
+def fused_gather_rows(features, idx, interpret: bool = False,
+                      tile_b: int = 32, n_buf: int = 2):
+    """[B*S, F] = features[idx.reshape(-1)] — a drop-in jnp.take
+    replacement for the innermost-hop frontier, for consumers that need
+    the individual rows (pooled MLPs, the LSTM sequence, per-row
+    dropout). Same alignment gates as fused_gather_mean; falls back to
+    jnp.take otherwise. Output dtype = features dtype; no VJP is needed
+    (the feature table is a non-trained leaf at every call site)."""
+    B, S = idx.shape
+    N, F = features.shape
+    R = _row_sublanes(features.dtype)
+    on_tpu = jax.default_backend() not in ("cpu", "gpu")
+    use_kernel = (
+        interpret
+        or (on_tpu and F % (128 * R) == 0
+            and jnp.dtype(features.dtype).itemsize == 4)
+    )
+    if not use_kernel:
+        return jnp.take(features, idx.reshape(-1), axis=0)
+
+    CHUNK = 1024
+    if B > CHUNK:
+        return jnp.concatenate([
+            fused_gather_rows(features, idx[i:i + CHUNK],
+                              interpret=interpret, tile_b=tile_b,
+                              n_buf=n_buf)
+            for i in range(0, B, CHUNK)
+        ], axis=0)
+
+    pad = (-B) % tile_b
+    if pad:
+        idx = jnp.concatenate(
+            [idx, jnp.zeros((pad, S), dtype=idx.dtype)], axis=0
+        )
+    Bp = B + pad
+    n_tiles = Bp // tile_b
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[pltpu.SemaphoreType.DMA((n_buf, tile_b))],
+    )
+    out = pl.pallas_call(
+        functools.partial(_gather_rows_kernel, S=S, tile_b=tile_b,
+                          n_buf=n_buf),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Bp * S, R, F // R),
+                                       features.dtype),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=Bp * S,
+            bytes_accessed=2 * Bp * S * F * features.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(idx, features.reshape(N, R, F // R))
+    out = out.reshape(Bp * S, F)
+    return out[: B * S] if pad else out

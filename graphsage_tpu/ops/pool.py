@@ -1,0 +1,331 @@
+"""Fused gather -> per-neighbor MLP -> max/mean pool, with a training path.
+
+The pooling aggregators (reference aggregators.py:119-273) run a Dense
+layer on every sampled neighbor and reduce over the fanout. The XLA
+path materializes the [B*S, F] gather AND the [B*S, H] MLP activations
+in HBM in both directions; measured in the trainers' chunked mode this
+collapses the pooled step 3-4x vs the fused mean path
+(benchmarks/KERNEL_NOTES.md round-5 sweep: maxpool 10.75 ms vs mean
+2.74 at the headline shape).
+
+This module resurrects the round-3 fused kernel (removed at
+per-dispatch "speed parity", which the chunked-mode A/B later showed
+was the wrong execution mode to decide in) and adds what it lacked —
+a TRAINING path:
+
+- ``fused_gather_mlp_pool``: forward-only kernel. Row DMAs land in a
+  double-buffered VMEM scratch, the MLP matmul runs on the MXU against
+  VMEM-resident weights, the pool reduces on-chip; only [B, H] leaves
+  the chip. For inference/eval sweeps.
+- ``gather_mlp_pool_train``: ``jax.custom_vjp`` wrapper. The forward
+  kernel additionally streams the gathered rows X to HBM as a residual
+  (a sequential write that rides under the issue-bound DMA gather);
+  the backward is pure XLA from the saved X — one recomputed MLP
+  matmul for the relu/argmax masks plus the grad matmuls — and never
+  re-gathers. Gradient semantics match the XLA path exactly, including
+  jnp.max's even tie-splitting (verified by tests/test_pool.py).
+
+Valid when no dropout is applied inside the MLP (the reference drops
+the MLP's input rows, aggregators.py:168-174 — gated at the call
+site, models/graphsage.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from graphsage_tpu.ops.gather import _row_sublanes, pad_feature_dim
+
+# Larger tiles than the plain gather kernel: the in-kernel MLP matmul
+# wants (tile*S, F) operands big enough to feed the MXU (measured on
+# v5e at the Reddit pool shape: tile 8 -> 5.1ms, 16 -> 6.8, 32 -> 4.7).
+TILE_B = 32
+
+
+def gather_mlp_pool_reference(features, idx, w, b, reduce: str = "max"):
+    """XLA reference: reduce_s relu(features[idx] @ w + b) -> [B, H]."""
+    rows = jnp.take(features, idx, axis=0).astype(jnp.float32)
+    if rows.shape[-1] != w.shape[0]:
+        rows = rows[..., : w.shape[0]]
+    h = jax.nn.relu(
+        jnp.einsum("bsf,fh->bsh", rows, w,
+                   preferred_element_type=jnp.float32) + b
+    )
+    return jnp.max(h, axis=1) if reduce == "max" else jnp.mean(h, axis=1)
+
+
+def _kernel(idx_ref, feat_ref, w_ref, b_ref, out_ref, *rest,
+            S, F, H, tile_b, reduce, want_x):
+    # outputs precede scratch: (out_ref[, x_ref], scratch, sems)
+    if want_x:
+        x_ref, scratch, sems = rest
+    else:
+        x_ref, (scratch, sems) = None, rest
+    t = pl.program_id(0)
+    n_tiles = pl.num_programs(0)
+
+    # one DMA semaphore per ROW (shared by its S same-sized copies):
+    # the sflag space caps total semaphores at ~512, which 2*tile_b*S
+    # per-copy semaphores would blow past at tile_b=32
+    def issue(tile, slot):
+        def body(r, _):
+            for s in range(S):
+                pltpu.make_async_copy(
+                    feat_ref.at[idx_ref[tile * tile_b + r, s]],
+                    scratch.at[slot, r * S + s],
+                    sems.at[slot, r],
+                ).start()
+            return 0
+
+        jax.lax.fori_loop(0, tile_b, body, 0)
+
+    def wait(slot):
+        def body(r, _):
+            for s in range(S):
+                pltpu.make_async_copy(
+                    feat_ref.at[0], scratch.at[slot, r * S + s],
+                    sems.at[slot, r],
+                ).wait()
+            return 0
+
+        jax.lax.fori_loop(0, tile_b, body, 0)
+
+    slot = jax.lax.rem(t, 2)
+
+    @pl.when(t == 0)
+    def _():
+        issue(0, 0)
+
+    @pl.when(t + 1 < n_tiles)
+    def _():
+        issue(t + 1, jax.lax.rem(t + 1, 2))
+
+    wait(slot)
+    x = scratch[slot].astype(jnp.float32).reshape(tile_b * S, F)
+    if want_x:
+        x_ref[:, :] = x
+    h = jax.nn.relu(
+        jnp.dot(x, w_ref[:], preferred_element_type=jnp.float32)
+        + b_ref[:]
+    ).reshape(tile_b, S, H)
+    if reduce == "max":
+        out_ref[:, :] = jnp.max(h, axis=1)
+    else:
+        out_ref[:, :] = jnp.sum(h, axis=1) * (1.0 / S)
+
+
+def _kernel_ok(features, w):
+    N, F = features.shape
+    H = w.shape[1]
+    R = _row_sublanes(features.dtype)
+    on_tpu = jax.default_backend() not in ("cpu", "gpu")
+    return (on_tpu and F % (128 * R) == 0 and H % 128 == 0
+            and jnp.dtype(features.dtype).itemsize == 4)
+
+
+def _pad_w(features, w):
+    """Zero-pad w's input rows to the feature table's (lane-aligned)
+    width; padded feature lanes are zero, so the product is exact."""
+    F = features.shape[1]
+    if w.shape[0] == F:
+        return w
+    return jnp.concatenate(
+        [w, jnp.zeros((F - w.shape[0], w.shape[1]), w.dtype)], axis=0
+    )
+
+
+def _pallas_pool(features, idx, w, b, reduce, want_x, tile_b,
+                 interpret=False):
+    """Core pallas_call; idx [B, S] with B % tile_b == 0 (caller pads).
+    Returns (pooled [B, H], x [B*S, F] or None)."""
+    B, S = idx.shape
+    N, F = features.shape
+    H = w.shape[1]
+    R = _row_sublanes(features.dtype)
+    n_tiles = B // tile_b
+
+    out_specs = [
+        pl.BlockSpec(
+            (tile_b, H), lambda t, idx_ref: (t, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    out_shape = [jax.ShapeDtypeStruct((B, H), jnp.float32)]
+    if want_x:
+        # the residual stream: one contiguous VMEM->HBM block write per
+        # tile, riding under the (issue-bound) row-DMA gather
+        out_specs.append(pl.BlockSpec(
+            (tile_b * S, F), lambda t, idx_ref: (t, 0),
+            memory_space=pltpu.VMEM,
+        ))
+        out_shape.append(jax.ShapeDtypeStruct((B * S, F), jnp.float32))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_specs,
+        scratch_shapes=[
+            pltpu.VMEM((2, tile_b * S, R, F // R), features.dtype),
+            pltpu.SemaphoreType.DMA((2, tile_b)),
+        ],
+    )
+    kernel = functools.partial(
+        _kernel, S=S, F=F, H=H, tile_b=tile_b, reduce=reduce,
+        want_x=want_x,
+    )
+    x_bytes = B * S * F * 4 if want_x else 0
+    res = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * S * F * H,
+            bytes_accessed=(B * S * F * features.dtype.itemsize
+                            + F * H * 4 + B * H * 4 + x_bytes),
+            transcendentals=0,
+        ),
+    )(idx, features.reshape(N, R, F // R), w, b)
+    return (res[0], res[1]) if want_x else (res[0], None)
+
+
+def _pool_fwd_impl(features, idx, w, b, reduce, want_x, tile_b,
+                   interpret=False):
+    """Shape plumbing around _pallas_pool: chunking + tile padding.
+    Returns (pooled [B, H], x [B*S, F] float32 or None)."""
+    B, S = idx.shape
+    CHUNK = 1024
+    if B > CHUNK:
+        outs = [
+            _pool_fwd_impl(features, idx[i:i + CHUNK], w, b, reduce,
+                           want_x, tile_b, interpret)
+            for i in range(0, B, CHUNK)
+        ]
+        pooled = jnp.concatenate([o[0] for o in outs], axis=0)
+        x = (jnp.concatenate([o[1] for o in outs], axis=0)
+             if want_x else None)
+        return pooled, x
+
+    pad = (-B) % tile_b
+    if pad:
+        idx = jnp.concatenate(
+            [idx, jnp.zeros((pad, S), dtype=idx.dtype)], axis=0
+        )
+    out, x = _pallas_pool(features, idx, w, b, reduce, want_x, tile_b,
+                          interpret)
+    if pad:
+        out = out[:B]
+        if want_x:
+            x = x[: B * S]
+    return out, x
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("reduce", "interpret", "tile_b"))
+def fused_gather_mlp_pool(features, idx, w, b, reduce: str = "max",
+                          interpret: bool = False, tile_b: int = TILE_B):
+    """Forward-only [B, H] = reduce_s relu(features[idx[b,s]] @ w + b).
+
+    features: [N, F]; if F exceeds w's input dim the extra lanes must
+    be the zero padding of ops.gather.pad_feature_dim (w is zero-padded
+    to match). Kernel path requires F lane-aligned, H % 128 == 0, and a
+    4-byte dtype; anything else falls back to the XLA reference.
+    """
+    if not (interpret or _kernel_ok(features, w)):
+        return gather_mlp_pool_reference(features, idx, w, b, reduce)
+    wp = _pad_w(features, w)
+    out, _ = _pool_fwd_impl(features, idx, wp, b, reduce, False, tile_b,
+                            interpret)
+    return out
+
+
+# ------------------------------------------------------- training path
+
+def _route_pool_grad(dy, x, w, b, y, reduce, S):
+    """Cotangents (grad_w, grad_b) of reduce_s relu(x @ w + b) from the
+    saved gathered rows x [B*S, F] — pure XLA, no re-gather. Matches
+    jnp.max's VJP exactly: even split among ties, relu' zero at z <= 0."""
+    B = dy.shape[0]
+    H = w.shape[1]
+    z = jnp.dot(x, w, preferred_element_type=jnp.float32) + b
+    if reduce == "max":
+        h = jax.nn.relu(z).reshape(B, S, H)
+        m = (h == y[:, None, :]).astype(jnp.float32)
+        cnt = jnp.maximum(jnp.sum(m, axis=1, keepdims=True), 1.0)
+        dh = (dy[:, None, :] * m / cnt).reshape(B * S, H)
+    else:
+        dh = jnp.broadcast_to(
+            dy[:, None, :] / S, (B, S, H)
+        ).reshape(B * S, H)
+    dz = jnp.where(z > 0, dh, 0.0)
+    grad_w = jnp.dot(x.T, dz, preferred_element_type=jnp.float32)
+    grad_b = jnp.sum(dz, axis=0)
+    return grad_w, grad_b
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def gather_mlp_pool_train(reduce, features, idx, w, b):
+    """Differentiable (w, b) fused pool for TRAINING steps.
+
+    Forward runs the Pallas kernel (streaming the gathered rows to HBM
+    as the backward residual); backward is XLA-only from that residual.
+    ``features`` and ``idx`` get zero cotangents (the feature table is
+    a non-trained input everywhere this is engaged — models/graphsage.py
+    guards identity_dim == 0).
+    """
+    return fused_gather_mlp_pool(features, idx, w, b, reduce=reduce)
+
+
+def _train_fwd(reduce, features, idx, w, b):
+    if _kernel_ok(features, w):
+        wp = _pad_w(features, w)
+        y, x = _pool_fwd_impl(features, idx, wp, b, reduce, True, TILE_B)
+    else:
+        x = jnp.take(features, idx.reshape(-1), axis=0).astype(jnp.float32)
+        wp = _pad_w(features, w)
+        B, S = idx.shape
+        h = jax.nn.relu(
+            jnp.dot(x, wp, preferred_element_type=jnp.float32) + b
+        ).reshape(B, S, -1)
+        y = jnp.max(h, axis=1) if reduce == "max" else jnp.mean(h, axis=1)
+    return y, (x, w, b, y, idx, features)
+
+
+def _train_bwd(reduce, res, dy):
+    x, w, b, y, idx, features = res
+    S = idx.shape[1]
+    wp = _pad_w(features, w)
+    grad_wp, grad_b = _route_pool_grad(dy, x, wp, b, y, reduce, S)
+    grad_w = grad_wp[: w.shape[0]]
+    # features/idx carry no gradient where this is engaged; the zero
+    # feature cotangent is DCE'd by XLA (never consumed), and the int
+    # idx cotangent must be float0 per the custom_vjp contract.
+    return (
+        jnp.zeros_like(features),
+        np.zeros(idx.shape, dtype=jax.dtypes.float0),
+        grad_w,
+        grad_b,
+    )
+
+
+gather_mlp_pool_train.defvjp(_train_fwd, _train_bwd)
+
+__all__ = [
+    "fused_gather_mlp_pool",
+    "gather_mlp_pool_reference",
+    "gather_mlp_pool_train",
+    "pad_feature_dim",
+]

@@ -53,14 +53,18 @@ def test_fused_gather_mean_bf16_input(np_rng):
 
 
 @pytest.mark.parametrize("aggregator,identity_dim",
-                         [("mean", 0), ("gcn", 0), ("mean", 4)])
+                         [("mean", 0), ("gcn", 0), ("mean", 4),
+                          ("meanpool", 0),
+                          ("seq", 0), ("maxpool", 4), ("twomaxpool", 0)])
 def test_sage_embed_fused_matches_unfused(toy_graph, aggregator,
                                           identity_dim):
     """The model-level fast path is numerically identical to the default
     path when sampling indices agree (same rng, dropout=0). gcn rides
     the same kernel via the (S*mean + self)/(S+1) recombination;
     identity_dim splits the trainable identity columns onto the
-    differentiable XLA take."""
+    differentiable XLA take; meanpool rides the fused gather->MLP->pool
+    kernel (ops/pool.py); seq/maxpool/twomaxpool exercise the opt-in
+    row-gather kernel (rows_gather=True)."""
     import dataclasses
 
     from graphsage_tpu.data.adjacency import build_both_adjs
@@ -89,20 +93,28 @@ def test_sage_embed_fused_matches_unfused(toy_graph, aggregator,
 
     out_plain = sage_embed(params, feats, adj, ids, key, config)
 
-    fused_cfg = dataclasses.replace(config, fused_gather=True)
-    # interpret mode so the Pallas kernel runs on CPU
+    fused_cfg = dataclasses.replace(config, fused_gather=True,
+                                    rows_gather=True)
+    # interpret mode so the Pallas kernels run on CPU
     import unittest.mock
 
     from graphsage_tpu.ops import gather as gather_mod
 
-    orig = gather_mod.fused_gather_mean
+    orig_mean = gather_mod.fused_gather_mean
+    orig_rows = gather_mod.fused_gather_rows
 
-    def interp(*a, **kw):
+    def interp_mean(*a, **kw):
         kw["interpret"] = True
-        return orig(*a, **kw)
+        return orig_mean(*a, **kw)
+
+    def interp_rows(*a, **kw):
+        kw["interpret"] = True
+        return orig_rows(*a, **kw)
 
     with unittest.mock.patch.object(
-        gather_mod, "fused_gather_mean", side_effect=interp
+        gather_mod, "fused_gather_mean", side_effect=interp_mean
+    ), unittest.mock.patch.object(
+        gather_mod, "fused_gather_rows", side_effect=interp_rows
     ):
         out_fused = sage_embed(params, feats, adj, ids, key, fused_cfg)
 

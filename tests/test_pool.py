@@ -1,0 +1,149 @@
+"""Fused gather->MLP->pool kernel: forward parity (interpret mode),
+training-path gradient parity vs XLA autodiff (including max-tie and
+dead-relu routing), and model-level fused-vs-unfused equality."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from graphsage_tpu.ops.gather import pad_feature_dim
+from graphsage_tpu.ops.pool import (
+    fused_gather_mlp_pool,
+    gather_mlp_pool_reference,
+    gather_mlp_pool_train,
+)
+
+B, S, F_LOGICAL, H = 12, 5, 100, 128
+N = 40
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(0)
+    feats = rng.standard_normal((N, F_LOGICAL)).astype(np.float32)
+    feats[7] = feats[3]  # duplicate rows -> max ties across neighbors
+    feats[11] = -np.abs(feats[11]) - 1.0  # all-negative -> dead relu rows
+    features = jnp.asarray(pad_feature_dim(feats))
+    idx = rng.integers(0, N, (B, S)).astype(np.int32)
+    idx[0, :] = 3  # every neighbor identical -> S-way max tie
+    idx[1, :2] = [3, 7]  # duplicate-feature neighbors -> 2-way tie
+    idx = jnp.asarray(idx)
+    w = jnp.asarray(rng.standard_normal((F_LOGICAL, H)).astype(np.float32)
+                    * 0.1)
+    b = jnp.asarray(rng.standard_normal((H,)).astype(np.float32) * 0.1)
+    return features, idx, w, b
+
+
+@pytest.mark.parametrize("reduce", ["max", "mean"])
+def test_forward_interpret_matches_reference(setup, reduce):
+    features, idx, w, b = setup
+    ref = gather_mlp_pool_reference(features, idx, w, b, reduce)
+    out = fused_gather_mlp_pool(features, idx, w, b, reduce,
+                                interpret=True, tile_b=4)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("reduce", ["max", "mean"])
+def test_train_grads_match_xla_autodiff(setup, reduce):
+    """The custom VJP (recompute-from-saved-X backward) must equal XLA
+    autodiff of the same composition — including jnp.max's even
+    tie-splitting and relu' = 0 at z <= 0."""
+    features, idx, w, b = setup
+    cot = jnp.asarray(
+        np.random.default_rng(1).standard_normal((B, H)).astype(np.float32)
+    )
+
+    def ours(w, b):
+        return jnp.sum(gather_mlp_pool_train(reduce, features, idx, w, b)
+                       * cot)
+
+    def ref(w, b):
+        return jnp.sum(gather_mlp_pool_reference(features, idx, w, b,
+                                                 reduce) * cot)
+
+    (gv_w, gv_b) = jax.grad(ours, argnums=(0, 1))(w, b)
+    (rw, rb) = jax.grad(ref, argnums=(0, 1))(w, b)
+    np.testing.assert_allclose(np.asarray(gv_w), np.asarray(rw),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gv_b), np.asarray(rb),
+                               rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("reduce", ["max", "mean"])
+def test_train_forward_value(setup, reduce):
+    features, idx, w, b = setup
+    out = gather_mlp_pool_train(reduce, features, idx, w, b)
+    ref = gather_mlp_pool_reference(features, idx, w, b, reduce)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_kernel_residual_stream_matches_take(setup):
+    """The training forward's second output (gathered rows X, the
+    backward residual) must equal a plain take, interpret mode."""
+    from graphsage_tpu.ops.pool import _pad_w, _pool_fwd_impl
+
+    features, idx, w, b = setup
+    wp = _pad_w(features, w)
+    out, x = _pool_fwd_impl(features, idx, wp, b, "max", True, 4,
+                            interpret=True)
+    rows = jnp.take(features, idx.reshape(-1), axis=0)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(rows),
+                               rtol=1e-6, atol=1e-6)
+    ref = gather_mlp_pool_reference(features, idx, w, b, "max")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("agg", ["maxpool", "meanpool"])
+def test_model_fused_matches_unfused(agg):
+    """sage_embed with fused_gather engages the pooled kernel path for
+    maxpool/meanpool; outputs and parameter gradients must match the
+    plain path under the deterministic first_k sampler."""
+    from graphsage_tpu.models.graphsage import (
+        LayerInfo,
+        SAGEConfig,
+        init_sage_params,
+        sage_embed,
+    )
+
+    rng = np.random.default_rng(2)
+    num_nodes = 30
+    feats = np.vstack([
+        rng.standard_normal((num_nodes, F_LOGICAL)).astype(np.float32),
+        np.zeros((1, F_LOGICAL), np.float32),
+    ])
+    features = jnp.asarray(pad_feature_dim(feats))
+    adj = jnp.asarray(rng.integers(
+        0, num_nodes, (num_nodes + 1, 6), dtype=np.int32))
+    ids = jnp.arange(8, dtype=jnp.int32)
+    base = SAGEConfig(
+        layers=(LayerInfo(4, 16), LayerInfo(3, 16)),
+        feature_dim=F_LOGICAL, aggregator=agg, concat=True,
+        num_nodes=num_nodes, sampler_mode="first_k",
+    )
+    params = init_sage_params(jax.random.key(0), base)
+    key = jax.random.key(1)
+
+    def emb_sum(p, cfg):
+        return jnp.sum(sage_embed(p, features, adj, ids, key, cfg,
+                                  deterministic=True) ** 2)
+
+    cfg_f = dataclasses.replace(base, fused_gather=True)
+    out_plain = sage_embed(params, features, adj, ids, key, base, True)
+    out_fused = sage_embed(params, features, adj, ids, key, cfg_f, True)
+    np.testing.assert_allclose(np.asarray(out_fused),
+                               np.asarray(out_plain),
+                               rtol=1e-5, atol=1e-6)
+
+    g_plain = jax.grad(emb_sum)(params, base)
+    g_fused = jax.grad(emb_sum)(params, cfg_f)
+    flat_p, _ = jax.tree_util.tree_flatten(g_plain)
+    flat_f, _ = jax.tree_util.tree_flatten(g_fused)
+    for a, c in zip(flat_p, flat_f):
+        np.testing.assert_allclose(np.asarray(c), np.asarray(a),
+                                   rtol=1e-4, atol=1e-6)
