@@ -205,10 +205,83 @@ def preflight(timeout_s: float = 150.0):
     os._exit(3 if res["status"] == "wedged" else 4)
 
 
+def measure_secondaries():
+    """Short chunked-mode measurements of the non-headline paths so the
+    BENCH_r* record catches regressions beyond supervised-mean-zipf
+    (round-4 VERDICT item 4): gcn, identity_dim, uniform ids, the
+    unsupervised three-tower step, the fused meanpool path, and the
+    serving embed sweep. Reuses benchmarks/agg_sweep.py's builders
+    verbatim so executables hit the persistent compile cache shared
+    with the sweep artifacts (AGG_SWEEP.jsonl). Any single failure is
+    recorded as an error string, never fatal to the headline."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    if here not in sys.path:
+        sys.path.insert(0, here)
+    out = {}
+    try:
+        from benchmarks import agg_sweep
+    except Exception as exc:  # pragma: no cover
+        return {"error": f"agg_sweep import failed: {exc}"}
+    for name in ("gcn", "identity64", "mean_uniform", "unsup_mean",
+                 "meanpool_fused"):
+        agg, size, fused, sdist, idd, unsup = agg_sweep.CONFIGS[name]
+        fn = (agg_sweep.run_unsupervised if unsup
+              else agg_sweep.run_supervised)
+        try:
+            sec, edges = fn(name, agg, size, fused, sdist, idd)
+            out[name + "_edges_per_sec"] = round(edges / sec, 1)
+        except Exception as exc:
+            out[name + "_error"] = str(exc)[:200]
+    # Serving: the whole-graph embed sweep (infer.py's hot path), same
+    # shapes as benchmarks/serving_bench.py for compile-cache reuse.
+    try:
+        from graphsage_tpu.models.graphsage import LayerInfo, SAGEConfig
+        from graphsage_tpu.models.unsupervised import (
+            UnsupervisedConfig,
+            init_unsupervised_params,
+        )
+        from graphsage_tpu.ops.gather import pad_feature_dim
+        from graphsage_tpu.train.unsupervised import make_embed_sweep
+
+        sage = SAGEConfig(
+            layers=(LayerInfo(FANOUTS[0], DIMS[0]),
+                    LayerInfo(FANOUTS[1], DIMS[1])),
+            feature_dim=FEAT_DIM, aggregator="mean", concat=True,
+            fused_gather=True, num_nodes=NUM_NODES,
+        )
+        rng = np.random.default_rng(0)
+        features = jnp.asarray(pad_feature_dim(np.vstack([
+            rng.standard_normal((NUM_NODES, FEAT_DIM)).astype(np.float32),
+            np.zeros((1, FEAT_DIM), dtype=np.float32),
+        ])))
+        adj = jnp.asarray(zipf_adjacency(rng))
+        n_b = -(-NUM_NODES // BATCH)
+        ids_np = np.full((n_b * BATCH,), NUM_NODES, dtype=np.int32)
+        ids_np[:NUM_NODES] = np.arange(NUM_NODES)
+        ids_all = jnp.asarray(ids_np)
+        uconf = UnsupervisedConfig(sage=sage)
+        uparams = init_unsupervised_params(jax.random.key(0), uconf)
+        sweep = make_embed_sweep(uconf, BATCH, NUM_NODES)
+        key = jax.random.key(7)
+        rows = sweep(uparams, features, adj, ids_all, key)
+        float(rows[0, 0])
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            rows = sweep(uparams, features, adj, ids_all, key)
+            float(rows[0, 0])
+            best = min(best, time.perf_counter() - t0)
+        out["serving_embed_nodes_per_sec"] = round(n_b * BATCH / best, 1)
+    except Exception as exc:
+        out["serving_error"] = str(exc)[:200]
+    return out
+
+
 def main():
     dist = "uniform" if "--dist=uniform" in sys.argv or (
         "uniform" in sys.argv
     ) else "zipf"
+    headline_only = "--headline-only" in sys.argv
     preflight()
     (step, params, opt_state, features, adj, ids, labels, mask,
      sup) = build(dist=dist)
@@ -326,6 +399,8 @@ def main():
         "roofline_frac": round(roofline_frac, 4),
         "wall_frac": round(wall_frac, 4),
     }
+    if not headline_only:
+        result["secondary"] = measure_secondaries()
     print(json.dumps(result))
     if dist == "zipf":  # the headline config; keep the committed record
         try:
