@@ -69,6 +69,11 @@ CONFIGS = {
     "meanpool_big": ("meanpool", "big",   False, "zipf",    0, False),
     "seq_big":      ("seq",      "big",   False, "zipf",    0, False),
     "mean_uniform": ("mean",     "small", True,  "uniform", 0, False),
+    # zipf degree skew with hub ids value-scattered over the id space —
+    # the layout a real dataset's arbitrary id_map produces, i.e. what
+    # --degree_relabel turns back into plain "zipf"
+    "mean_zipf_scattered": ("mean", "small", True, "zipf_scattered",
+                            0, False),
     "identity64":   ("mean",     "small", True,  "zipf",   64, False),
     "unsup_mean":   ("mean",     "small", True,  "zipf",    0, True),
 }
@@ -94,6 +99,10 @@ def build_graph(dist: str):
     ))
     if dist == "zipf":
         adj = jnp.asarray(zipf_adjacency(rng))
+    elif dist == "zipf_scattered":
+        raw = zipf_adjacency(rng)
+        scatter = rng.permutation(NUM_NODES).astype(np.int32)
+        adj = jnp.asarray(scatter[raw])
     else:
         adj = jnp.asarray(rng.integers(
             0, NUM_NODES, (NUM_NODES + 1, MAX_DEGREE), dtype=np.int32

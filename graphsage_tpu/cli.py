@@ -101,6 +101,12 @@ def _add_common(p: argparse.ArgumentParser, defaults: TrainFlags):
                    help="don't load the feature table up front: mmap it "
                         "and materialize only this host's --graph_shards "
                         "row range (tables larger than one host's RAM)")
+    p.add_argument("--degree_relabel", action=argparse.BooleanOptionalAction,
+                   default=d.degree_relabel,
+                   help="re-order internal node ids by descending degree "
+                        "at ingest so hub rows are dense/low (gather "
+                        "locality); original node ids round-trip in all "
+                        "exports, walks, and eval outputs")
     p.add_argument("--seed", type=int, default=d.seed)
     # multi-host (P3): one process per host joins the cluster before any
     # device op; auto-detected on TPU pods, explicit for CPU/GPU clusters

@@ -16,6 +16,7 @@ Semantics reproduced from the reference loader:
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
 
@@ -87,6 +88,7 @@ def load_data(
     normalize: bool = True,
     load_walks: bool = False,
     load_features: bool = True,
+    degree_relabel: bool = False,
 ) -> GraphData:
     """Load a dataset into a :class:`GraphData`. See module docstring.
 
@@ -96,6 +98,13 @@ def load_data(
     table so :func:`load_feature_shard` can later materialize ONLY one
     host's row range — the multi-host path where the table exceeds a
     single host's memory (SURVEY §7 stage 7).
+
+    ``degree_relabel`` re-orders internal node indices by descending
+    degree (see :func:`relabel_by_degree`): reference id_maps are
+    arbitrary (utils.py:22-35 string-keyed dicts), and a degree-dense
+    id layout makes hub rows contiguous/low for gather locality.
+    Original ids round-trip via ``node_ids``/``id2idx`` as always, so
+    exports, walks, and eval are unaffected.
     """
     with open(prefix + "-G.json") as fp:
         g_data = json.load(fp)
@@ -190,7 +199,7 @@ def load_data(
     if load_walks:
         walks = read_walks(prefix + "-walks.txt", id2idx)
 
-    return GraphData(
+    graph = GraphData(
         node_ids=ordered_ids,
         id2idx=id2idx,
         features=feats,
@@ -206,6 +215,52 @@ def load_data(
         feat_rows=feat_rows,
         feature_meta=feature_meta,
         feature_normalize=normalize,
+    )
+    if degree_relabel:
+        graph = relabel_by_degree(graph)
+    return graph
+
+
+def relabel_by_degree(graph: GraphData) -> GraphData:
+    """Permute internal node indices so the highest-degree node is 0.
+
+    The reference's id_map order is arbitrary (utils.py:22-35), so hub
+    nodes land anywhere in the feature table; a degree-descending
+    layout packs the hot gather set into dense low rows (the layout the
+    isolated-gather locality facts favor — benchmarks/KERNEL_NOTES.md
+    "Round-3 locality facts"; the chunked training loop itself hides
+    most of the difference, round-5 sweep). Purely an internal-index
+    permutation: every array is re-indexed consistently and original
+    node ids still round-trip via ``node_ids``/``id2idx``, so walks,
+    exports, and eval outputs are unchanged as sets. ``class_map`` is
+    keyed by original ids and needs no change; ``train_removed`` stays
+    aligned with its (re-indexed, order-preserved) edge rows. Ties
+    break by original index (stable sort) for determinism.
+    """
+    n = graph.num_nodes
+    deg = np.fromiter((len(v) for v in graph.neighbors), count=n,
+                      dtype=np.int64)
+    order = np.argsort(-deg, kind="stable")      # new idx -> old idx
+    perm = np.empty(n, dtype=np.int64)
+    perm[order] = np.arange(n)                   # old idx -> new idx
+
+    node_ids = [graph.node_ids[o] for o in order]
+    return dataclasses.replace(
+        graph,
+        node_ids=node_ids,
+        id2idx={nid: i for i, nid in enumerate(node_ids)},
+        features=(graph.features[order]
+                  if graph.features is not None else None),
+        labels=graph.labels[order] if graph.labels is not None else None,
+        is_val=graph.is_val[order],
+        is_test=graph.is_test[order],
+        edges=perm[graph.edges].astype(np.int32),
+        neighbors=[perm[graph.neighbors[o]].astype(np.int32)
+                   for o in order],
+        walks=(perm[graph.walks].astype(np.int32)
+               if graph.walks is not None else None),
+        feat_rows=(graph.feat_rows[order]
+                   if graph.feat_rows is not None else None),
     )
 
 

@@ -50,7 +50,8 @@ NODE_SETS = ("test", "val", "train", "all")
 def _prepare(flags: TrainFlags, graph):
     """Load the dataset (full/eval adjacency) and place device arrays."""
     if graph is None:
-        graph = load_data(flags.train_prefix, load_walks=False)
+        graph = load_data(flags.train_prefix, load_walks=False,
+                          degree_relabel=flags.degree_relabel)
     # inference always sees the full graph (the reference's "test"
     # adjacency, minibatch.py:247-259, swapped in for every eval)
     _, _, full_adj_np = build_both_adjs(
@@ -223,7 +224,8 @@ def export_embeddings(flags: TrainFlags, out_dir: str | None = None,
 
         if graph is None:
             graph = load_data(flags.train_prefix, load_walks=False,
-                              load_features=not flags.defer_features)
+                              load_features=not flags.defer_features,
+                              degree_relabel=flags.degree_relabel)
         config = build_unsupervised_config(flags, graph)
         env = _prepare_sharded(flags, graph, init_unsupervised_params(
             jax.random.key(flags.seed), config
@@ -299,7 +301,8 @@ def predict(flags: TrainFlags, out_dir: str | None = None,
     if sharded:
         if graph is None:
             graph = load_data(flags.train_prefix, load_walks=False,
-                              load_features=not flags.defer_features)
+                              load_features=not flags.defer_features,
+                              degree_relabel=flags.degree_relabel)
     else:
         graph, features, full_adj = _prepare(flags, graph)
     if graph.num_classes is None:

@@ -81,6 +81,10 @@ class TrainFlags:
     defer_features: bool = False  # mmap the feature table; each host
                                   # materializes only its --graph_shards
                                   # row range (SURVEY §7 stage 7)
+    degree_relabel: bool = False  # re-order internal node ids by
+                                  # descending degree at ingest (hub
+                                  # rows dense/low for gather locality;
+                                  # original ids round-trip everywhere)
     seed: int = 123
     n_model_shards: int = 1     # feature-dim TP over a ("data","model")
                                 # mesh (supervised; composes with

@@ -139,7 +139,8 @@ def train(flags: TrainFlags, graph=None) -> dict:
     if graph is None:
         print("Loading training data..")
         graph = load_data(flags.train_prefix,
-                          load_features=not flags.defer_features)
+                          load_features=not flags.defer_features,
+                          degree_relabel=flags.degree_relabel)
         print("Done loading training data..")
 
     if flags.graph_shards > 1:

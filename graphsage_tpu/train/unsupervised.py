@@ -196,7 +196,8 @@ def train(flags: TrainFlags, graph=None) -> dict:
     if graph is None:
         print("Loading training data..")
         graph = load_data(flags.train_prefix, load_walks=flags.random_context,
-                          load_features=not flags.defer_features)
+                          load_features=not flags.defer_features,
+                          degree_relabel=flags.degree_relabel)
         print("Done loading training data..")
 
     train_adj_np, deg, full_adj_np = build_both_adjs(

@@ -350,3 +350,104 @@ def test_put_global_rows_loads_only_local_ranges(toy_graph, tmp_path):
     ref = put_global(table, mesh, P("graph"))
     np.testing.assert_array_equal(np.asarray(g), np.asarray(ref))
     assert sorted(set(seen)) == [(0, 4), (4, 8), (8, 12), (12, 16)]
+
+
+def test_degree_relabel_isomorphism(tmp_path, toy_graph):
+    """degree_relabel permutes internal indices only: per-ORIGINAL-id
+    features/labels/split flags/neighbor sets are unchanged, walks map
+    to the same original pairs, and indices are degree-descending."""
+    prefix = str(tmp_path / "toy")
+    write_dataset(toy_graph, prefix)
+    import os
+
+    from graphsage_tpu.data.walks import write_walks
+
+    base = load_data(prefix, normalize=False)
+    # give the relabeled load a walks file derived from the base order
+    pairs = np.stack([
+        np.arange(0, 20, dtype=np.int32),
+        np.arange(5, 25, dtype=np.int32),
+    ], axis=1)
+    write_walks(prefix + "-walks.txt", pairs, base.node_ids)
+    assert os.path.exists(prefix + "-walks.txt")
+    base = load_data(prefix, normalize=False, load_walks=True)
+    rel = load_data(prefix, normalize=False, load_walks=True,
+                    degree_relabel=True)
+
+    deg = np.array([len(v) for v in rel.neighbors])
+    assert np.all(np.diff(deg) <= 0), "indices not degree-descending"
+    assert sorted(rel.node_ids) == sorted(base.node_ids)
+
+    for nid in base.node_ids:
+        bi, ri = base.id2idx[nid], rel.id2idx[nid]
+        np.testing.assert_array_equal(base.features[bi], rel.features[ri])
+        np.testing.assert_array_equal(base.labels[bi], rel.labels[ri])
+        assert base.is_val[bi] == rel.is_val[ri]
+        assert base.is_test[bi] == rel.is_test[ri]
+        b_nbrs = sorted(base.node_ids[j] for j in base.neighbors[bi])
+        r_nbrs = sorted(rel.node_ids[j] for j in rel.neighbors[ri])
+        assert b_nbrs == r_nbrs
+
+    # edges as original-id pairs (order-preserved rows, so train_removed
+    # stays aligned)
+    assert len(base.edges) == len(rel.edges)
+    for k in range(len(base.edges)):
+        b = {base.node_ids[base.edges[k, 0]],
+             base.node_ids[base.edges[k, 1]]}
+        r = {rel.node_ids[rel.edges[k, 0]], rel.node_ids[rel.edges[k, 1]]}
+        assert b == r
+    np.testing.assert_array_equal(base.train_removed, rel.train_removed)
+
+    # walks map to the same original-id pairs
+    b_pairs = {(base.node_ids[a], base.node_ids[b])
+               for a, b in base.walks}
+    r_pairs = {(rel.node_ids[a], rel.node_ids[b]) for a, b in rel.walks}
+    assert b_pairs == r_pairs
+
+
+def test_degree_relabel_deferred_feat_rows(tmp_path, toy_graph):
+    """With load_features=False, feat_rows must still map each (new)
+    index to its node's on-disk feature row."""
+    prefix = str(tmp_path / "toy")
+    write_dataset(toy_graph, prefix)
+    base = load_data(prefix, normalize=False)
+    rel = load_data(prefix, normalize=False, load_features=False,
+                    degree_relabel=True)
+    disk = np.load(prefix + "-feats.npy")
+    for nid in base.node_ids[:20]:
+        ri = rel.id2idx[nid]
+        np.testing.assert_array_equal(disk[rel.feat_rows[ri]],
+                                      base.features[base.id2idx[nid]])
+
+
+def test_degree_relabel_train_smoke(tmp_path, toy_graph):
+    """End-to-end: supervised training with --degree_relabel runs and
+    evaluates; unsupervised export writes ORIGINAL node ids in val.txt."""
+    from graphsage_tpu.train.config import TrainFlags
+    from graphsage_tpu.train.supervised import train as sup_train
+    from graphsage_tpu.train.unsupervised import train as unsup_train
+
+    prefix = str(tmp_path / "toy")
+    write_dataset(toy_graph, prefix)
+    flags = TrainFlags(
+        train_prefix=prefix, model="graphsage_mean", epochs=1,
+        batch_size=16, samples_1=4, samples_2=3, dim_1=8, dim_2=8,
+        max_degree=8, validate_iter=50, print_every=50,
+        base_log_dir=str(tmp_path / "logs"), degree_relabel=True,
+    )
+    res = sup_train(flags)
+    assert np.isfinite(res["val_loss"])
+
+    uflags = TrainFlags(
+        train_prefix=prefix, model="graphsage_mean", epochs=1,
+        batch_size=16, samples_1=4, samples_2=3, dim_1=8, dim_2=8,
+        max_degree=8, validate_iter=50, print_every=50,
+        base_log_dir=str(tmp_path / "ulogs"), degree_relabel=True,
+        random_context=False,
+    )
+    unsup_train(uflags)
+    import glob
+
+    txt = glob.glob(str(tmp_path / "ulogs" / "*" / "*" / "val.txt"))[0]
+    exported = [line.strip() for line in open(txt) if line.strip()]
+    assert sorted(exported) == sorted(str(i) for i in toy_graph.node_ids)
