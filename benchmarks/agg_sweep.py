@@ -76,6 +76,16 @@ CONFIGS = {
                             0, False),
     "identity64":   ("mean",     "small", True,  "zipf",   64, False),
     "unsup_mean":   ("mean",     "small", True,  "zipf",    0, True),
+    # round-5 in-kernel dropout A/B: trailing element = dropout rate
+    # (training steps run deterministic=False in the chunk runners, so
+    # the rate engages the reference's pre-reduce element dropout —
+    # in-kernel Mosaic PRNG when fused, jax.random masks otherwise)
+    "mean_drop":           ("mean", "small", True,  "zipf", 0, False, 0.5),
+    "mean_nofused_drop":   ("mean", "small", False, "zipf", 0, False, 0.5),
+    "meanpool_fused_drop": ("meanpool", "small", True, "zipf", 0, False,
+                            0.5),
+    "meanpool_drop":       ("meanpool", "small", False, "zipf", 0, False,
+                            0.5),
 }
 
 
@@ -110,7 +120,7 @@ def build_graph(dist: str):
     return features, adj
 
 
-def make_sage(agg, model_size, fused, identity_dim):
+def make_sage(agg, model_size, fused, identity_dim, dropout=0.0):
     from graphsage_tpu.models.graphsage import LayerInfo, SAGEConfig
 
     return SAGEConfig(
@@ -123,6 +133,7 @@ def make_sage(agg, model_size, fused, identity_dim):
         identity_dim=identity_dim,
         num_nodes=NUM_NODES,
         fused_gather=fused,
+        dropout=dropout,
     )
 
 
@@ -142,7 +153,8 @@ def time_chunks(run_chunk, fetch_loss):
     return best / ITERS
 
 
-def run_supervised(name, agg, model_size, fused, dist, identity_dim):
+def run_supervised(name, agg, model_size, fused, dist, identity_dim,
+                   dropout=0.0):
     import optax  # noqa: F401  (optimizer dep of the runners)
 
     from graphsage_tpu.models.supervised import (
@@ -152,7 +164,7 @@ def run_supervised(name, agg, model_size, fused, dist, identity_dim):
     )
     from graphsage_tpu.parallel.dp import make_supervised_chunk_runner
 
-    sage = make_sage(agg, model_size, fused, identity_dim)
+    sage = make_sage(agg, model_size, fused, identity_dim, dropout)
     sup = SupervisedConfig(sage=sage, num_classes=NUM_CLASSES,
                            sigmoid_loss=False, weight_decay=0.0)
     features, adj = build_graph(dist)
@@ -190,7 +202,8 @@ def run_supervised(name, agg, model_size, fused, dist, identity_dim):
     return sec, edges
 
 
-def run_unsupervised(name, agg, model_size, fused, dist, identity_dim):
+def run_unsupervised(name, agg, model_size, fused, dist, identity_dim,
+                     dropout=0.0):
     from graphsage_tpu.models.supervised import make_optimizer
     from graphsage_tpu.models.unsupervised import (
         UnsupervisedConfig,
@@ -200,7 +213,7 @@ def run_unsupervised(name, agg, model_size, fused, dist, identity_dim):
     from graphsage_tpu.parallel.dp import make_unsupervised_chunk_runner
 
     NEG = 20
-    sage = make_sage(agg, model_size, fused, identity_dim)
+    sage = make_sage(agg, model_size, fused, identity_dim, dropout)
     uconf = UnsupervisedConfig(sage=sage, neg_sample_size=NEG)
     features, adj = build_graph(dist)
     rng_np = np.random.default_rng(5)
@@ -254,10 +267,11 @@ def main():
         return 3
 
     for name in names:
-        agg, size, fused, dist, id_dim, unsup = CONFIGS[name]
+        agg, size, fused, dist, id_dim, unsup, *extra = CONFIGS[name]
+        drop = extra[0] if extra else 0.0
         fn = run_unsupervised if unsup else run_supervised
         t0 = time.perf_counter()
-        sec, edges = fn(name, agg, size, fused, dist, id_dim)
+        sec, edges = fn(name, agg, size, fused, dist, id_dim, drop)
         row = {
             "config": name,
             "aggregator": agg,
@@ -266,6 +280,7 @@ def main():
             "dist": dist,
             "identity_dim": id_dim,
             "unsupervised": unsup,
+            "dropout": drop,
             "ms_per_step": round(sec * 1e3, 4),
             "edges_per_step": edges,
             "edges_per_sec": round(edges / sec, 1),

@@ -242,25 +242,13 @@ def aggregate_pyramid(
     return hidden[0]
 
 
-_FUSED_DROPOUT_WARNED = False
-
-
-def _warn_fused_dropout_once():
-    global _FUSED_DROPOUT_WARNED
-    if _FUSED_DROPOUT_WARNED:
-        return
-    _FUSED_DROPOUT_WARNED = True
-    import warnings
-
-    warnings.warn(
-        "dropout > 0 disables the fused inner-hop gather-mean kernel "
-        "(the reference drops individual neighbor rows pre-mean, which "
-        "the pre-reduced kernel cannot express); training falls back to "
-        "the XLA take path, measured ~2x slower per step at the Reddit "
-        "shape (benchmarks/KERNEL_NOTES.md). Set --dropout 0 (the "
-        "reference's default) to keep the fused path.",
-        stacklevel=3,
-    )
+# Distinct fold_in tags deriving the fused kernels' dropout streams
+# from the step's drop_rng: the kernel masks the innermost-hop NEIGHBOR
+# rows (the in-aggregator neigh dropout is skipped for pre-reduced
+# inputs, nn/aggregators.py), the identity tag masks the XLA-side
+# identity-embedding columns of the same rows.
+_KERNEL_DROP_TAG = 0x5EED
+_IDENTITY_DROP_TAG = 0x1D
 
 
 def sage_embed(
@@ -313,18 +301,17 @@ def sage_embed(
         and config.feature_dim > 0
         and config.identity_dim == 0
     )
-    use_fused = fusable and (deterministic or config.dropout == 0.0)
-    use_fused_pool = pool_fusable and (deterministic or config.dropout == 0.0)
-    if (fusable or pool_fusable) and not (use_fused or use_fused_pool):
-        # The reference drops individual neighbor rows BEFORE the mean
-        # (aggregators.py:52-53), which the pre-reduced kernels cannot
-        # express — fall back to the materializing row-gather path
-        # below. Warn once per process, at trace time, so users setting
-        # --dropout on real-data recipes see the cost.
-        _warn_fused_dropout_once()
+    # dropout > 0 no longer disables fusion: the reference drops
+    # individual neighbor rows BEFORE the reduce (aggregators.py:52-53,
+    # :168-174), which the kernels reproduce per-element with the
+    # on-chip Mosaic PRNG (ops/gather.py, ops/pool.py) — a different
+    # (equally valid) mask stream than the XLA path's jax.random masks.
+    use_fused = fusable
+    use_fused_pool = pool_fusable
+    training_drop = (not deterministic) and config.dropout > 0.0
+    inner_drop = config.dropout if training_drop else 0.0
     # Opt-in (rows_gather): paths that need the individual innermost-hop
-    # rows (maxpool/seq/twomaxpool, or mean/gcn/meanpool forced off the
-    # pre-reduced kernels by dropout) can gather them with the direct
+    # rows (maxpool/seq/twomaxpool) can gather them with the direct
     # HBM->HBM row-DMA kernel — a semantically exact jnp.take
     # replacement (ops/gather.py::fused_gather_rows). Measured at take
     # parity in chunked training (KERNEL_NOTES round-5), hence not the
@@ -342,7 +329,10 @@ def sage_embed(
         inner_fanout = config.fanouts[0]
         idx2 = samples[-1].reshape(-1, inner_fanout)
         last_mean = fused_gather_mean(
-            features, idx2, dedup=config.dedup_gather
+            features, idx2, dedup=config.dedup_gather,
+            drop_rate=inner_drop,
+            drop_key=(jax.random.fold_in(drop_rng, _KERNEL_DROP_TAG)
+                      if inner_drop > 0.0 else None),
         )
         if last_mean.shape[1] != config.feature_dim:
             last_mean = last_mean[:, : config.feature_dim]
@@ -352,15 +342,26 @@ def sage_embed(
             # differentiable XLA take (the table needs gradients; the
             # kernel has no VJP), the feature columns ride the kernel.
             id_rows = jnp.take(params["embeds"], samples[-1], axis=0)
-            id_mean = id_rows.reshape(
+            id_rows = id_rows.reshape(
                 -1, inner_fanout, config.identity_dim
-            ).mean(axis=1)
+            )
+            if inner_drop > 0.0:
+                # same pre-mean element dropout as the kernel applies
+                # to the feature columns of these rows
+                from graphsage_tpu.nn.init import dropout as _drop
+
+                id_rows = _drop(
+                    jax.random.fold_in(drop_rng, _IDENTITY_DROP_TAG),
+                    id_rows, inner_drop, False,
+                )
+            id_mean = id_rows.mean(axis=1)
             last_mean = jnp.concatenate([id_mean, last_mean], axis=1)
         hidden = [
             gather_features(params, features, s, config)
             for s in samples[:-1]
         ] + [None]
     elif use_fused_pool:
+        from graphsage_tpu.ops.gather import _key_words
         from graphsage_tpu.ops.pool import gather_mlp_pool_train
 
         inner_fanout = config.fanouts[0]
@@ -368,7 +369,10 @@ def sage_embed(
         mlp0 = params["aggs"][0]["mlp"][0]
         last_mean = gather_mlp_pool_train(
             "max" if config.aggregator == "maxpool" else "mean",
+            inner_drop,
             features, idx2, mlp0["w"], mlp0["b"],
+            (_key_words(jax.random.fold_in(drop_rng, _KERNEL_DROP_TAG))
+             if inner_drop > 0.0 else None),
         )
         hidden = [
             gather_features(params, features, s, config)

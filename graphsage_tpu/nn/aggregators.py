@@ -66,10 +66,12 @@ def init_mean(key, input_dim, output_dim, model_size="small", bias=False):
 def apply_mean(params, self_vecs, neigh_vecs, *, act, concat,
                dropout_rate=0.0, rng=None, deterministic=True):
     """``neigh_vecs`` is [n, S, d] — or an already-reduced [n, d] mean
-    (the fused gather-mean fast path; only valid with dropout=0 since the
-    reference drops out individual neighbor vectors pre-mean)."""
+    from the fused gather-mean fast path, in which case the reference's
+    pre-mean neighbor dropout (aggregators.py:52) was already applied
+    inside the kernel and is skipped here (only self dropout runs)."""
     r1, r2 = _split(rng, 2)
-    neigh_vecs = dropout(r1, neigh_vecs, dropout_rate, deterministic)
+    if neigh_vecs.ndim != 2:
+        neigh_vecs = dropout(r1, neigh_vecs, dropout_rate, deterministic)
     self_vecs = dropout(r2, self_vecs, dropout_rate, deterministic)
     if neigh_vecs.ndim == 2:
         neigh_means = neigh_vecs
@@ -96,13 +98,15 @@ def apply_gcn(params, self_vecs, neigh_vecs, *, act, concat,
               n_samples=None):
     del concat  # gcn is used with concat=False; output never concatenates
     r1, r2 = _split(rng, 2)
-    neigh_vecs = dropout(r1, neigh_vecs, dropout_rate, deterministic)
+    if neigh_vecs.ndim != 2:
+        neigh_vecs = dropout(r1, neigh_vecs, dropout_rate, deterministic)
     self_vecs = dropout(r2, self_vecs, dropout_rate, deterministic)
     if neigh_vecs.ndim == 2:
         # pre-reduced [n, d] neighbor mean (fused gather-mean fast path;
-        # only valid with dropout=0 since the reference drops individual
-        # neighbor rows pre-mean): the self-inclusive gcn mean over S
-        # neighbors + self recombines as (S*mean + self) / (S+1).
+        # the reference's pre-mean neighbor dropout was applied inside
+        # the kernel): the self-inclusive gcn mean over S neighbors +
+        # self recombines as (S*mean + self) / (S+1) — dropout commutes
+        # per-element with the mean, so the recombination stays exact.
         means = (n_samples * neigh_vecs + self_vecs) * (
             1.0 / (n_samples + 1)
         )

@@ -28,15 +28,39 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def gather_mean_reference(features, idx):
+def gather_mean_reference(features, idx, drop_rate: float = 0.0,
+                          drop_key=None):
     """XLA reference: mean of features[idx] over the sample axis.
 
     features: [N, F]; idx: [B, S] int32 -> [B, F] float32. The upcast
     happens on the gathered rows, never on the whole table (a pre-gather
     astype would materialize a full-table copy every step).
+
+    With ``drop_rate`` > 0, per-ELEMENT dropout is applied to the
+    gathered rows before the mean — the reference's placement
+    (tf.nn.dropout on neigh_vecs pre-reduce, aggregators.py:52-53).
     """
-    rows = jnp.take(features, idx, axis=0)
-    return rows.astype(jnp.float32).mean(axis=1)
+    rows = jnp.take(features, idx, axis=0).astype(jnp.float32)
+    if drop_rate > 0.0:
+        keep = 1.0 - drop_rate
+        mask = jax.random.bernoulli(drop_key, keep, rows.shape)
+        rows = jnp.where(mask, rows * (1.0 / keep), 0.0)
+    return rows.mean(axis=1)
+
+
+def _dropout_threshold(drop_rate: float):
+    """uint32 threshold t such that P(bits < t) = 1 - drop_rate for
+    uniform 32-bit ``bits`` (kernel-side mask: keep where bits < t)."""
+    keep = 1.0 - drop_rate
+    return jnp.uint32(min(int(keep * 4294967296.0), 4294967295))
+
+
+def _key_words(key):
+    """A jax PRNG key (typed or raw uint32 [2]) as two int32 scalar-
+    prefetch words for pltpu.prng_seed."""
+    if jnp.issubdtype(key.dtype, jax.dtypes.prng_key):
+        key = jax.random.key_data(key)
+    return jax.lax.bitcast_convert_type(key.reshape(-1)[:2], jnp.int32)
 
 
 TILE_B = 8  # output rows per grid step (Pallas sublane minimum for f32)
@@ -109,11 +133,48 @@ def _pipelined_block(idx_ref, feat_ref, scratch, sems, *, S, F, tile_b,
     return scratch[slot].astype(jnp.float32).reshape(tile_b, S, F)
 
 
-def _gather_mean_kernel(idx_ref, feat_ref, out_ref, scratch, sems,
-                        *, S, F, tile_b, n_buf):
-    """One grid step computes tile_b output MEAN rows [tile_b, F]."""
+def _gather_mean_kernel(idx_ref, *rest, S, F, tile_b, n_buf,
+                        drop_rate=0.0, stub_prng=False):
+    """One grid step computes tile_b output MEAN rows [tile_b, F].
+
+    With ``drop_rate`` > 0 a second scalar-prefetch operand carries the
+    PRNG seed (two words of a jax key) and per-element dropout runs
+    on-chip over the gathered [tile_b*S, F] block before the mean — the
+    rows never exist in HBM, so neither does the mask. Each grid step
+    reseeds with (seed0, seed1, program_id) for a deterministic
+    per-tile stream independent of grid execution order.
+
+    ``stub_prng`` (interpret mode — the HLO interpreter has no
+    prng_seed lowering) replaces the bits with zeros = all-keep, the
+    same behavior as the Mosaic interpreter's own PRNG stub; the scale
+    path is still exercised (output = mean / keep).
+    """
+    if drop_rate > 0.0:
+        seed_ref, feat_ref, out_ref, scratch, sems = rest
+    else:
+        feat_ref, out_ref, scratch, sems = rest
     block = _pipelined_block(idx_ref, feat_ref, scratch, sems,
                              S=S, F=F, tile_b=tile_b, n_buf=n_buf)
+    if drop_rate > 0.0:
+        if stub_prng:
+            bits = jnp.zeros((tile_b * S, F), jnp.uint32)
+        else:
+            # Mosaic caps prng_seed at two words: mix the tile id into
+            # word 1 (golden-ratio odd constant spreads adjacent t far
+            # apart; int32 wrap-around is fine — only distinctness
+            # within a call matters for tile-mask independence).
+            pltpu.prng_seed(
+                seed_ref[0],
+                seed_ref[1] + pl.program_id(0) * (-1640531527),
+            )
+            bits = pltpu.bitcast(
+                pltpu.prng_random_bits((tile_b * S, F)), jnp.uint32
+            )
+        keep_mask = (bits < _dropout_threshold(drop_rate)).reshape(
+            tile_b, S, F
+        )
+        block = jnp.where(keep_mask, block * (1.0 / (1.0 - drop_rate)),
+                          0.0)
     out_ref[:, :] = jnp.sum(block, axis=1) * (1.0 / S)
 
 
@@ -256,11 +317,13 @@ def pad_feature_dim(features, dtype=None):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("interpret", "tile_b", "n_buf", "dedup")
+    jax.jit,
+    static_argnames=("interpret", "tile_b", "n_buf", "dedup", "drop_rate"),
 )
 def fused_gather_mean(features, idx, interpret: bool = False,
                       tile_b: int = TILE_B, n_buf: int = 2,
-                      dedup: bool = False):
+                      dedup: bool = False, drop_rate: float = 0.0,
+                      drop_key=None):
     """[B, F] = mean_s features[idx[b, s]] without materializing [B*S, F].
 
     features: [N, F] float32/bfloat16 (HBM-resident), idx: [B, S] int32.
@@ -268,7 +331,19 @@ def fused_gather_mean(features, idx, interpret: bool = False,
     On TPU, F must be a multiple of 128 (see pad_feature_dim); otherwise
     the XLA reference path is used. ``n_buf`` scratch buffers pipeline
     the row DMAs of n_buf-1 tiles ahead.
+
+    ``drop_rate`` > 0 (with ``drop_key``, a jax PRNG key) applies
+    per-element dropout to the gathered rows BEFORE the mean — the
+    reference's training placement (aggregators.py:52-53) — via the
+    on-chip Mosaic PRNG, so training with dropout keeps the fused
+    bandwidth profile. The XLA fallback applies the same semantics with
+    jax.random (a different, equally valid mask stream). ``dedup``
+    cannot express per-duplicate masks and is ignored when dropping.
     """
+    if drop_rate > 0.0 and drop_key is None:
+        raise ValueError("drop_rate > 0 requires drop_key")
+    if not 0.0 <= drop_rate < 1.0:
+        raise ValueError(f"drop_rate must be in [0, 1), got {drop_rate}")
     B, S = idx.shape
     N, F = features.shape
     R = _row_sublanes(features.dtype)
@@ -284,16 +359,24 @@ def fused_gather_mean(features, idx, interpret: bool = False,
             and jnp.dtype(features.dtype).itemsize == 4)
     )
     if not use_kernel:
-        return gather_mean_reference(features, idx)
+        return gather_mean_reference(features, idx, drop_rate, drop_key)
+    if drop_rate > 0.0:
+        dedup = False  # per-duplicate masks are inexpressible post-dedup
 
     # Scalar-prefetched idx lives in SMEM lane-padded to [B, 128]; chunk
     # the call so each kernel stays well under the 1MB SMEM budget.
     CHUNK = 1024
     if B > CHUNK:
         outs = [
-            fused_gather_mean(features, idx[i:i + CHUNK],
-                              interpret=interpret, tile_b=tile_b,
-                              n_buf=n_buf, dedup=dedup)
+            fused_gather_mean(
+                features, idx[i:i + CHUNK], interpret=interpret,
+                tile_b=tile_b, n_buf=n_buf, dedup=dedup,
+                drop_rate=drop_rate,
+                # distinct per-chunk streams: tile t of chunk c must not
+                # reuse tile t of chunk 0's seed triple
+                drop_key=(jax.random.fold_in(drop_key, i // CHUNK)
+                          if drop_rate > 0.0 else None),
+            )
             for i in range(0, B, CHUNK)
         ]
         return jnp.concatenate(outs, axis=0)
@@ -351,6 +434,25 @@ def fused_gather_mean(features, idx, interpret: bool = False,
         out = pl.pallas_call(
             kernel, grid_spec=grid_spec, out_shape=out_shape, **params
         )(idx_unique, n_unique, feats_view, w)
+    elif drop_rate > 0.0:
+        seed = _key_words(drop_key)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(n_tiles,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec(
+                (tile_b, F), lambda t, i_ref, s_ref: (t, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=scratch_shapes,
+        )
+        kernel = functools.partial(
+            _gather_mean_kernel, S=S, F=F, tile_b=tile_b, n_buf=n_buf,
+            drop_rate=drop_rate, stub_prng=interpret,
+        )
+        out = pl.pallas_call(
+            kernel, grid_spec=grid_spec, out_shape=out_shape, **params
+        )(idx, seed, feats_view)
     else:
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,

@@ -25,9 +25,11 @@ a TRAINING path:
   re-gathers. Gradient semantics match the XLA path exactly, including
   jnp.max's even tie-splitting (verified by tests/test_pool.py).
 
-Valid when no dropout is applied inside the MLP (the reference drops
-the MLP's input rows, aggregators.py:168-174 — gated at the call
-site, models/graphsage.py).
+Training with ``dropout > 0`` rides the kernel too: the reference
+drops the MLP's input rows (aggregators.py:168-174), which the kernel
+reproduces per-element with the on-chip Mosaic PRNG before the matmul;
+the DROPPED rows stream out as the residual, so the backward stays
+mask-free and exact.
 """
 
 from __future__ import annotations
@@ -40,7 +42,12 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from graphsage_tpu.ops.gather import _row_sublanes, pad_feature_dim
+from graphsage_tpu.ops.gather import (
+    _dropout_threshold,
+    _key_words,
+    _row_sublanes,
+    pad_feature_dim,
+)
 
 # Larger tiles than the plain gather kernel: the in-kernel MLP matmul
 # wants (tile*S, F) operands big enough to feed the MXU (measured on
@@ -60,9 +67,15 @@ def gather_mlp_pool_reference(features, idx, w, b, reduce: str = "max"):
     return jnp.max(h, axis=1) if reduce == "max" else jnp.mean(h, axis=1)
 
 
-def _kernel(idx_ref, feat_ref, w_ref, b_ref, out_ref, *rest,
-            S, F, H, tile_b, reduce, want_x):
-    # outputs precede scratch: (out_ref[, x_ref], scratch, sems)
+def _kernel(idx_ref, *rest, S, F, H, tile_b, reduce, want_x,
+            drop_rate=0.0, stub_prng=False):
+    # operand order: [seed_ref if dropping,] feat, w, b | outputs
+    # (out_ref[, x_ref]) | scratch (scratch, sems)
+    if drop_rate > 0.0:
+        seed_ref, rest = rest[0], rest[1:]
+    else:
+        seed_ref = None
+    feat_ref, w_ref, b_ref, out_ref, *rest = rest
     if want_x:
         x_ref, scratch, sems = rest
     else:
@@ -108,6 +121,24 @@ def _kernel(idx_ref, feat_ref, w_ref, b_ref, out_ref, *rest,
 
     wait(slot)
     x = scratch[slot].astype(jnp.float32).reshape(tile_b * S, F)
+    if drop_rate > 0.0:
+        # Per-element dropout on the MLP's input rows (the reference's
+        # placement: Dense drops its input, aggregators.py:168-174).
+        # The DROPPED rows are what streams out as the residual, so the
+        # XLA backward recomputes the exact same z without needing the
+        # mask. stub_prng (interpret mode; no prng lowering there) uses
+        # zero bits = all-keep, matching the Mosaic interpreter's stub.
+        if stub_prng:
+            bits = jnp.zeros((tile_b * S, F), jnp.uint32)
+        else:
+            # Mosaic caps prng_seed at two words: mix the tile id into
+            # word 1 (golden-ratio odd constant; int32 wrap is fine)
+            pltpu.prng_seed(seed_ref[0], seed_ref[1] + t * (-1640531527))
+            bits = pltpu.bitcast(
+                pltpu.prng_random_bits((tile_b * S, F)), jnp.uint32
+            )
+        x = jnp.where(bits < _dropout_threshold(drop_rate),
+                      x * (1.0 / (1.0 - drop_rate)), 0.0)
     if want_x:
         x_ref[:, :] = x
     h = jax.nn.relu(
@@ -141,32 +172,35 @@ def _pad_w(features, w):
 
 
 def _pallas_pool(features, idx, w, b, reduce, want_x, tile_b,
-                 interpret=False):
+                 interpret=False, drop_rate=0.0, seed=None):
     """Core pallas_call; idx [B, S] with B % tile_b == 0 (caller pads).
-    Returns (pooled [B, H], x [B*S, F] or None)."""
+    Returns (pooled [B, H], x [B*S, F] or None). ``drop_rate`` > 0
+    (with ``seed``, two int32 words) drops MLP-input elements in-kernel;
+    the residual then holds the DROPPED rows."""
     B, S = idx.shape
     N, F = features.shape
     H = w.shape[1]
     R = _row_sublanes(features.dtype)
     n_tiles = B // tile_b
+    dropping = drop_rate > 0.0
+    n_prefetch = 2 if dropping else 1
+
+    def _imap(t, *_refs):
+        return (t, 0)
 
     out_specs = [
-        pl.BlockSpec(
-            (tile_b, H), lambda t, idx_ref: (t, 0),
-            memory_space=pltpu.VMEM,
-        ),
+        pl.BlockSpec((tile_b, H), _imap, memory_space=pltpu.VMEM),
     ]
     out_shape = [jax.ShapeDtypeStruct((B, H), jnp.float32)]
     if want_x:
         # the residual stream: one contiguous VMEM->HBM block write per
         # tile, riding under the (issue-bound) row-DMA gather
         out_specs.append(pl.BlockSpec(
-            (tile_b * S, F), lambda t, idx_ref: (t, 0),
-            memory_space=pltpu.VMEM,
+            (tile_b * S, F), _imap, memory_space=pltpu.VMEM,
         ))
         out_shape.append(jax.ShapeDtypeStruct((B * S, F), jnp.float32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=n_prefetch,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -181,9 +215,11 @@ def _pallas_pool(features, idx, w, b, reduce, want_x, tile_b,
     )
     kernel = functools.partial(
         _kernel, S=S, F=F, H=H, tile_b=tile_b, reduce=reduce,
-        want_x=want_x,
+        want_x=want_x, drop_rate=drop_rate,
+        stub_prng=bool(interpret),
     )
     x_bytes = B * S * F * 4 if want_x else 0
+    operands = (idx, seed) if dropping else (idx,)
     res = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -198,20 +234,26 @@ def _pallas_pool(features, idx, w, b, reduce, want_x, tile_b,
                             + F * H * 4 + B * H * 4 + x_bytes),
             transcendentals=0,
         ),
-    )(idx, features.reshape(N, R, F // R), w, b)
+    )(*operands, features.reshape(N, R, F // R), w, b)
     return (res[0], res[1]) if want_x else (res[0], None)
 
 
 def _pool_fwd_impl(features, idx, w, b, reduce, want_x, tile_b,
-                   interpret=False):
+                   interpret=False, drop_rate=0.0, seed=None):
     """Shape plumbing around _pallas_pool: chunking + tile padding.
     Returns (pooled [B, H], x [B*S, F] float32 or None)."""
     B, S = idx.shape
     CHUNK = 1024
     if B > CHUNK:
         outs = [
-            _pool_fwd_impl(features, idx[i:i + CHUNK], w, b, reduce,
-                           want_x, tile_b, interpret)
+            _pool_fwd_impl(
+                features, idx[i:i + CHUNK], w, b, reduce, want_x,
+                tile_b, interpret, drop_rate,
+                # offset word 0 per chunk: tile t of chunk c must not
+                # reuse tile t of chunk 0's (s0, s1, t) seed triple
+                (seed + jnp.array([i // CHUNK, 0], jnp.int32)
+                 if drop_rate > 0.0 else None),
+            )
             for i in range(0, B, CHUNK)
         ]
         pooled = jnp.concatenate([o[0] for o in outs], axis=0)
@@ -225,7 +267,7 @@ def _pool_fwd_impl(features, idx, w, b, reduce, want_x, tile_b,
             [idx, jnp.zeros((pad, S), dtype=idx.dtype)], axis=0
         )
     out, x = _pallas_pool(features, idx, w, b, reduce, want_x, tile_b,
-                          interpret)
+                          interpret, drop_rate, seed)
     if pad:
         out = out[:B]
         if want_x:
@@ -276,8 +318,9 @@ def _route_pool_grad(dy, x, w, b, y, reduce, S):
     return grad_w, grad_b
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def gather_mlp_pool_train(reduce, features, idx, w, b):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def gather_mlp_pool_train(reduce, drop_rate, features, idx, w, b,
+                          seed=None):
     """Differentiable (w, b) fused pool for TRAINING steps.
 
     Forward runs the Pallas kernel (streaming the gathered rows to HBM
@@ -285,39 +328,68 @@ def gather_mlp_pool_train(reduce, features, idx, w, b):
     ``features`` and ``idx`` get zero cotangents (the feature table is
     a non-trained input everywhere this is engaged — models/graphsage.py
     guards identity_dim == 0).
+
+    ``drop_rate`` > 0 (with ``seed``, two int32 words from
+    ops.gather._key_words) applies the reference's MLP-input dropout
+    (aggregators.py:168-174) to the gathered rows — in-kernel via the
+    Mosaic PRNG on the kernel path, jax.random on the fallback. The
+    residual holds the DROPPED rows, so the backward needs no mask and
+    the (w, b) gradients are exact for the realized mask.
     """
-    return fused_gather_mlp_pool(features, idx, w, b, reduce=reduce)
-
-
-def _train_fwd(reduce, features, idx, w, b):
+    # Primal body (runs only when NOT differentiated, e.g. eval sweeps):
+    # skip the residual stream.
+    if drop_rate == 0.0:
+        return fused_gather_mlp_pool(features, idx, w, b, reduce=reduce)
     if _kernel_ok(features, w):
         wp = _pad_w(features, w)
-        y, x = _pool_fwd_impl(features, idx, wp, b, reduce, True, TILE_B)
+        y, _ = _pool_fwd_impl(features, idx, wp, b, reduce, False,
+                              TILE_B, drop_rate=drop_rate, seed=seed)
+        return y
+    y, _ = _train_fwd(reduce, drop_rate, features, idx, w, b, seed)
+    return y
+
+
+def _train_fwd(reduce, drop_rate, features, idx, w, b, seed=None):
+    if drop_rate > 0.0 and seed is None:
+        raise ValueError("drop_rate > 0 requires seed")
+    if _kernel_ok(features, w):
+        wp = _pad_w(features, w)
+        y, x = _pool_fwd_impl(features, idx, wp, b, reduce, True, TILE_B,
+                              drop_rate=drop_rate, seed=seed)
     else:
         x = jnp.take(features, idx.reshape(-1), axis=0).astype(jnp.float32)
+        if drop_rate > 0.0:
+            key = jax.random.wrap_key_data(
+                jax.lax.bitcast_convert_type(seed, jnp.uint32)
+            )
+            keep = 1.0 - drop_rate
+            mask = jax.random.bernoulli(key, keep, x.shape)
+            x = jnp.where(mask, x * (1.0 / keep), 0.0)
         wp = _pad_w(features, w)
         B, S = idx.shape
         h = jax.nn.relu(
             jnp.dot(x, wp, preferred_element_type=jnp.float32) + b
         ).reshape(B, S, -1)
         y = jnp.max(h, axis=1) if reduce == "max" else jnp.mean(h, axis=1)
-    return y, (x, w, b, y, idx, features)
+    return y, (x, w, b, y, idx, features, seed)
 
 
-def _train_bwd(reduce, res, dy):
-    x, w, b, y, idx, features = res
+def _train_bwd(reduce, drop_rate, res, dy):
+    x, w, b, y, idx, features, seed = res
     S = idx.shape[1]
     wp = _pad_w(features, w)
     grad_wp, grad_b = _route_pool_grad(dy, x, wp, b, y, reduce, S)
     grad_w = grad_wp[: w.shape[0]]
     # features/idx carry no gradient where this is engaged; the zero
     # feature cotangent is DCE'd by XLA (never consumed), and the int
-    # idx cotangent must be float0 per the custom_vjp contract.
+    # idx/seed cotangents must be float0 per the custom_vjp contract.
     return (
         jnp.zeros_like(features),
         np.zeros(idx.shape, dtype=jax.dtypes.float0),
         grad_w,
         grad_b,
+        (np.zeros(seed.shape, dtype=jax.dtypes.float0)
+         if seed is not None else None),
     )
 
 

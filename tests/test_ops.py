@@ -146,3 +146,148 @@ def test_fused_gather_mean_dedup_matches_reference(np_rng, B, S, F):
     out = fused_gather_mean(feats, idx, interpret=True, dedup=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5,
                                atol=1e-6)
+
+
+# --------------------- in-kernel dropout (round 5) ---------------------
+
+def test_gather_mean_dropout_fallback_semantics(np_rng):
+    """XLA fallback of fused_gather_mean with drop_rate: per-element
+    pre-mean dropout (the reference's placement, aggregators.py:52-53).
+    With S=1 and an all-ones table, each output element is 0 w.p. rate,
+    else 1/keep — checkable exactly."""
+    feats = jnp.ones((64, 16), jnp.float32)
+    idx = jnp.asarray(np_rng.integers(0, 64, (256, 1), dtype=np.int32))
+    key = jax.random.key(7)
+    out = np.asarray(
+        fused_gather_mean(feats, idx, drop_rate=0.4, drop_key=key)
+    )
+    zero_frac = (out == 0).mean()
+    assert abs(zero_frac - 0.4) < 0.05, zero_frac
+    np.testing.assert_allclose(out[out != 0], 1.0 / 0.6, rtol=1e-6)
+    # deterministic per key; different key -> different mask
+    out2 = np.asarray(
+        fused_gather_mean(feats, idx, drop_rate=0.4, drop_key=key)
+    )
+    np.testing.assert_array_equal(out, out2)
+    out3 = np.asarray(fused_gather_mean(
+        feats, idx, drop_rate=0.4, drop_key=jax.random.key(8)
+    ))
+    assert (out3 != out).any()
+
+
+def test_gather_mean_dropout_zero_rate_matches_reference(np_rng):
+    feats = jnp.asarray(np_rng.standard_normal((40, 16)).astype(np.float32))
+    idx = jnp.asarray(np_rng.integers(0, 40, (8, 5), dtype=np.int32))
+    out = fused_gather_mean(feats, idx, drop_rate=0.0,
+                            drop_key=jax.random.key(0))
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(gather_mean_reference(feats, idx)),
+                               rtol=1e-6)
+
+
+def test_gather_mean_dropout_interpret_scale_path(np_rng):
+    """Kernel path with dropout in interpret mode: validates the seed
+    scalar-prefetch plumbing and scale path. Interpret mode stubs the
+    PRNG to zero bits = all-keep, so the output must be exactly the
+    reference mean scaled by 1/keep; mask statistics are asserted by
+    the TPU-gated test below."""
+    feats = jnp.asarray(np_rng.standard_normal((40, 128)).astype(np.float32))
+    idx = jnp.asarray(np_rng.integers(0, 40, (16, 5), dtype=np.int32))
+    out = fused_gather_mean(feats, idx, interpret=True, drop_rate=0.25,
+                            drop_key=jax.random.key(3))
+    ref = gather_mean_reference(feats, idx)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(ref) / 0.75,
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_gather_mean_dropout_requires_key():
+    with pytest.raises(ValueError):
+        fused_gather_mean(jnp.ones((4, 8)), jnp.zeros((2, 2), jnp.int32),
+                          drop_rate=0.5)
+
+
+@pytest.mark.skipif(jax.default_backend() in ("cpu", "gpu"),
+                    reason="Mosaic PRNG needs a real TPU")
+def test_kernel_dropout_statistics_tpu(np_rng):
+    """On hardware: the in-kernel mask's zero fraction tracks the rate
+    and kept elements carry the 1/keep scale (S=1, all-ones table)."""
+    from graphsage_tpu.ops.gather import pad_feature_dim
+
+    feats = jnp.asarray(pad_feature_dim(np.ones((512, 128), np.float32)))
+    idx = jnp.asarray(np_rng.integers(0, 512, (512, 1), dtype=np.int32))
+    out = np.asarray(fused_gather_mean(
+        feats, idx, drop_rate=0.4, drop_key=jax.random.key(11)
+    ))
+    zero_frac = (out == 0).mean()
+    assert abs(zero_frac - 0.4) < 0.02, zero_frac
+    np.testing.assert_allclose(out[out != 0], 1.0 / 0.6, rtol=1e-5)
+    # determinism + key sensitivity on the device PRNG
+    out2 = np.asarray(fused_gather_mean(
+        feats, idx, drop_rate=0.4, drop_key=jax.random.key(11)
+    ))
+    np.testing.assert_array_equal(out, out2)
+    out3 = np.asarray(fused_gather_mean(
+        feats, idx, drop_rate=0.4, drop_key=jax.random.key(12)
+    ))
+    assert (out3 != out).any()
+
+
+@pytest.mark.parametrize("aggregator", ["mean", "gcn", "meanpool"])
+def test_sage_embed_fused_dropout_trains(toy_graph, aggregator):
+    """dropout > 0 keeps the fused path engaged (round-5: in-kernel
+    dropout): the training forward is finite and stochastic-per-key,
+    parameter grads flow, and eval (deterministic=True) is unaffected
+    by the dropout setting."""
+    import dataclasses
+
+    from graphsage_tpu.data.adjacency import build_both_adjs
+    from graphsage_tpu.models.graphsage import (
+        LayerInfo,
+        SAGEConfig,
+        init_sage_params,
+        sage_embed,
+    )
+
+    g = toy_graph
+    adj, _, _ = build_both_adjs(g, max_degree=8)
+    feats = jnp.asarray(g.padded_features())
+    adj = jnp.asarray(adj)
+    config = SAGEConfig(
+        layers=(LayerInfo(4, 8), LayerInfo(3, 8)),
+        feature_dim=feats.shape[1],
+        aggregator=aggregator,
+        concat=aggregator != "gcn",
+        num_nodes=g.num_nodes,
+        dropout=0.3,
+        fused_gather=True,
+    )
+    params = init_sage_params(jax.random.key(0), config)
+    ids = jnp.arange(16, dtype=jnp.int32)
+    key = jax.random.key(1)
+
+    out_train = sage_embed(params, feats, adj, ids, key, config,
+                           deterministic=False)
+    assert np.isfinite(np.asarray(out_train)).all()
+    # stochastic per key, deterministic for a fixed key
+    again = sage_embed(params, feats, adj, ids, key, config,
+                       deterministic=False)
+    np.testing.assert_array_equal(np.asarray(out_train), np.asarray(again))
+
+    def loss(p):
+        return jnp.sum(sage_embed(p, feats, adj, ids, key, config,
+                                  deterministic=False) ** 2)
+
+    grads = jax.grad(loss)(params)
+    flat, _ = jax.tree_util.tree_flatten(grads)
+    assert all(np.isfinite(np.asarray(a)).all() for a in flat)
+    assert any(float(jnp.abs(a).max()) > 0 for a in flat)
+
+    # eval path ignores dropout entirely
+    out_eval = sage_embed(params, feats, adj, ids, key, config,
+                          deterministic=True)
+    cfg0 = dataclasses.replace(config, dropout=0.0)
+    out_eval0 = sage_embed(params, feats, adj, ids, key, cfg0,
+                           deterministic=True)
+    np.testing.assert_allclose(np.asarray(out_eval), np.asarray(out_eval0),
+                               rtol=1e-6)

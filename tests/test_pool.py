@@ -58,7 +58,7 @@ def test_train_grads_match_xla_autodiff(setup, reduce):
     )
 
     def ours(w, b):
-        return jnp.sum(gather_mlp_pool_train(reduce, features, idx, w, b)
+        return jnp.sum(gather_mlp_pool_train(reduce, 0.0, features, idx, w, b)
                        * cot)
 
     def ref(w, b):
@@ -76,7 +76,7 @@ def test_train_grads_match_xla_autodiff(setup, reduce):
 @pytest.mark.parametrize("reduce", ["max", "mean"])
 def test_train_forward_value(setup, reduce):
     features, idx, w, b = setup
-    out = gather_mlp_pool_train(reduce, features, idx, w, b)
+    out = gather_mlp_pool_train(reduce, 0.0, features, idx, w, b)
     ref = gather_mlp_pool_reference(features, idx, w, b, reduce)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
@@ -147,3 +147,74 @@ def test_model_fused_matches_unfused(agg):
     for a, c in zip(flat_p, flat_f):
         np.testing.assert_allclose(np.asarray(c), np.asarray(a),
                                    rtol=1e-4, atol=1e-6)
+
+
+# --------------------- in-kernel dropout (round 5) ---------------------
+
+def test_train_dropout_fallback_matches_masked_replica(setup):
+    """CPU fallback with drop_rate: the mask comes from the seed via
+    jax.random, so an explicit replica with the same key must match the
+    forward AND the (w, b) gradients exactly — this pins the dropped-
+    residual backward (grads are exact for the realized mask)."""
+    from graphsage_tpu.ops.gather import _key_words
+    from graphsage_tpu.ops.pool import _pad_w
+
+    features, idx, w, b = setup
+    rate = 0.4
+    seed = _key_words(jax.random.key(5))
+    wp = _pad_w(features, w)
+
+    def replica(w_, b_):
+        x = jnp.take(features, idx.reshape(-1), axis=0).astype(jnp.float32)
+        k = jax.random.wrap_key_data(
+            jax.lax.bitcast_convert_type(seed, jnp.uint32)
+        )
+        mask = jax.random.bernoulli(k, 1.0 - rate, x.shape)
+        x = jnp.where(mask, x * (1.0 / (1.0 - rate)), 0.0)
+        wp_ = _pad_w(features, w_)
+        h = jax.nn.relu(
+            jnp.dot(x, wp_, preferred_element_type=jnp.float32) + b_
+        ).reshape(B, S, -1)
+        return jnp.mean(h, axis=1)
+
+    out = gather_mlp_pool_train("mean", rate, features, idx, w, b, seed)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(replica(w, b)),
+                               rtol=1e-5, atol=1e-6)
+
+    cot = jnp.asarray(
+        np.random.default_rng(3).standard_normal((B, H)).astype(np.float32)
+    )
+    g_ours = jax.grad(
+        lambda w_, b_: jnp.sum(
+            gather_mlp_pool_train("mean", rate, features, idx, w_, b_,
+                                  seed) * cot
+        ),
+        argnums=(0, 1),
+    )(w, b)
+    g_ref = jax.grad(
+        lambda w_, b_: jnp.sum(replica(w_, b_) * cot), argnums=(0, 1)
+    )(w, b)
+    for a, c in zip(g_ours, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("reduce", ["max", "mean"])
+def test_train_dropout_interpret_residual_consistency(setup, reduce):
+    """Kernel path (interpret) with dropout: whatever mask the PRNG
+    realizes, the pooled output must equal pool(relu(residual @ w + b))
+    — the mask-independent invariant that makes the backward exact."""
+    from graphsage_tpu.ops.gather import _key_words
+    from graphsage_tpu.ops.pool import _pad_w, _pool_fwd_impl
+
+    features, idx, w, b = setup
+    seed = _key_words(jax.random.key(9))
+    wp = _pad_w(features, w)
+    out, x = _pool_fwd_impl(features, idx, wp, b, reduce, True, 4,
+                            interpret=True, drop_rate=0.3, seed=seed)
+    h = jax.nn.relu(
+        jnp.dot(x, wp, preferred_element_type=jnp.float32) + b
+    ).reshape(B, S, -1)
+    ref = jnp.max(h, axis=1) if reduce == "max" else jnp.mean(h, axis=1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
