@@ -223,12 +223,13 @@ def measure_secondaries():
     except Exception as exc:  # pragma: no cover
         return {"error": f"agg_sweep import failed: {exc}"}
     for name in ("gcn", "identity64", "mean_uniform", "unsup_mean",
-                 "meanpool_fused"):
-        agg, size, fused, sdist, idd, unsup = agg_sweep.CONFIGS[name]
+                 "meanpool_fused", "mean_drop"):
+        agg, size, fused, sdist, idd, unsup, *extra = agg_sweep.CONFIGS[name]
+        drop = extra[0] if extra else 0.0
         fn = (agg_sweep.run_unsupervised if unsup
               else agg_sweep.run_supervised)
         try:
-            sec, edges = fn(name, agg, size, fused, sdist, idd)
+            sec, edges = fn(name, agg, size, fused, sdist, idd, drop)
             out[name + "_edges_per_sec"] = round(edges / sec, 1)
         except Exception as exc:
             out[name + "_error"] = str(exc)[:200]

@@ -34,6 +34,14 @@ from graphsage_tpu.models.graphsage import (
 from graphsage_tpu.nn.sampler import sample_from_rows
 
 
+def _drop_elems(key, x, rate: float):
+    """TF-style element dropout (zero w.p. rate, scale kept by 1/keep)
+    for the sharded split-mean's pre-reduce masks."""
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(key, keep, x.shape)
+    return jnp.where(mask, x * (1.0 / keep), 0.0)
+
+
 def shard_rows(table, n_shards: int, layout: str = "strided"):
     """Pad a [N, ...] table with zero rows to a multiple of n_shards and
     order rows for contiguous splitting along the mesh axis.
@@ -498,7 +506,7 @@ def sharded_sage_embed(
     # Fused fast path for the innermost hop: the Pallas fused gather+mean
     # (ops/gather.py) serves the dominant [B*prod(fanouts), F] gather
     # without materializing it (same eligibility as sage_embed:
-    # mean-family aggregator, no pre-mean dropout; trainable identity
+    # mean-family aggregator; trainable identity
     # columns are split off onto the differentiable exchange below). At D=1 every row is local and the kernel serves the whole
     # mean (measured: took the sharded runner from 77% of the plain path
     # to 44.6M edges/s — benchmarks/KERNEL_NOTES.md). At D>1 the mean is
@@ -514,7 +522,17 @@ def sharded_sage_embed(
         and config.aggregator in ("mean", "gcn")
         and feat_local is not None
         and config.feature_dim > 0
-        and (deterministic or config.dropout == 0.0)
+    )
+    # dropout > 0 keeps the fused path (round-5): the reference's
+    # pre-mean element dropout (aggregators.py:52-53) is applied to the
+    # innermost-hop rows here — in-kernel (Mosaic PRNG) on the D=1
+    # whole-mean path, jax.random masks on the D>1 split partial sums —
+    # and the in-aggregator neigh dropout is skipped for the
+    # pre-reduced input (nn/aggregators.py). rng is already per-shard
+    # folded by the callers, so shard masks are independent.
+    inner_drop = (
+        config.dropout if (not deterministic and config.dropout > 0.0)
+        else 0.0
     )
 
     dropped = jnp.zeros((), jnp.int32)
@@ -584,9 +602,16 @@ def sharded_sage_embed(
 
         S0 = fanouts[0]
         idx2 = samples[-1].reshape(-1, S0)
+        if inner_drop > 0.0:
+            from graphsage_tpu.models.graphsage import _KERNEL_DROP_TAG
+
+            drop_key = jax.random.fold_in(keys[-1], _KERNEL_DROP_TAG)
+        else:
+            drop_key = None
         if D == 1:
             last_mean = fused_gather_mean(
-                feat_local, idx2, dedup=config.dedup_gather
+                feat_local, idx2, dedup=config.dedup_gather,
+                drop_rate=inner_drop, drop_key=drop_key,
             )
         else:
             # Split mean: local fraction via an XLA take+mask+mean
@@ -608,6 +633,14 @@ def sharded_sage_embed(
             local_rows = jnp.take(
                 feat_local, jnp.where(is_local, local_idx, 0), axis=0
             ).astype(jnp.float32)
+            if inner_drop > 0.0:
+                # pre-mean element dropout on the local fraction (the
+                # remote fraction gets its own independent mask below;
+                # dropout commutes per-element with the split sum)
+                local_rows = _drop_elems(
+                    jax.random.fold_in(drop_key, 0), local_rows,
+                    inner_drop,
+                )
             local_sum = jnp.sum(
                 local_rows * is_local[:, :, None].astype(jnp.float32),
                 axis=1,
@@ -619,9 +652,17 @@ def sharded_sage_embed(
                 return_dropped=True, layout=layout, remote_only=True,
             )
             dropped += d
+            remote_rows = remote_rows.astype(jnp.float32)
+            if inner_drop > 0.0:
+                # local positions are zero rows here (remote_only), so
+                # masking/scaling them is a no-op
+                remote_rows = _drop_elems(
+                    jax.random.fold_in(drop_key, 1), remote_rows,
+                    inner_drop,
+                )
             remote_sum = remote_rows.reshape(
                 idx2.shape[0], S0, -1
-            ).astype(jnp.float32).sum(axis=1) * (1.0 / S0)
+            ).sum(axis=1) * (1.0 / S0)
             last_mean = local_sum + remote_sum
         if last_mean.shape[1] != config.feature_dim:
             last_mean = last_mean[:, : config.feature_dim]
@@ -637,7 +678,13 @@ def sharded_sage_embed(
                 layout=layout,
             )
             dropped += d
-            id_mean = id_rows.reshape(idx2.shape[0], S0, -1).mean(axis=1)
+            id_rows = id_rows.reshape(idx2.shape[0], S0, -1)
+            if inner_drop > 0.0:
+                # same pre-mean element dropout as the feature columns
+                id_rows = _drop_elems(
+                    jax.random.fold_in(drop_key, 2), id_rows, inner_drop
+                )
+            id_mean = id_rows.mean(axis=1)
             last_mean = jnp.concatenate([id_mean, last_mean], axis=1)
     out = aggregate_pyramid(
         params, hidden, ids.shape[0], config,

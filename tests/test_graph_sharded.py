@@ -1537,3 +1537,74 @@ def test_sharded_step_matches_single_device_pool_seq(mesh, toy_graph, agg):
         )
 
     jax.tree_util.tree_map_with_path(check, p1, p2)
+
+
+def test_sharded_dropout_fused_trains(mesh, toy_graph):
+    """round-5: dropout > 0 keeps the sharded fuse_inner path engaged
+    (D=1 in-kernel mask; D>1 independent jax.random masks on the split
+    local/remote partial sums). The step must run finite, be
+    deterministic per rng, differ across rngs (masks realized), and
+    move the params."""
+    from graphsage_tpu.data.adjacency import build_both_adjs
+    from graphsage_tpu.models.graphsage import LayerInfo, SAGEConfig
+    from graphsage_tpu.models.supervised import (
+        SupervisedConfig,
+        init_supervised_params,
+        make_optimizer,
+    )
+    from graphsage_tpu.ops.gather import pad_feature_dim
+
+    g = toy_graph
+    adj, _, _ = build_both_adjs(g, max_degree=8)
+    feats = pad_feature_dim(g.padded_features())
+    sage = SAGEConfig(
+        layers=(LayerInfo(4, 8), LayerInfo(3, 8)),
+        feature_dim=g.padded_features().shape[1],
+        aggregator="mean",
+        sampler_mode="first_k",
+        fused_gather=True,
+        dropout=0.4,
+        num_nodes=g.num_nodes,
+    )
+    sup = SupervisedConfig(sage=sage, num_classes=g.num_classes)
+    params = init_supervised_params(jax.random.key(0), sup)
+    optimizer = make_optimizer(0.05)
+
+    B = 16
+    ids = jnp.arange(B, dtype=jnp.int32)
+    labels = jnp.asarray(g.labels[:B])
+    mask = jnp.ones(B, dtype=jnp.float32)
+
+    feat_sh, _ = shard_rows(feats, D)
+    adj_sh, _ = shard_rows(adj, D)
+    opt2 = optimizer.init(params)
+    step = make_sharded_supervised_step(
+        sup, optimizer, mesh, capacity_factor=8.0,
+        params_like=params, opt_state_like=opt2,
+    )
+
+    def run(rng):
+        p, _, loss, _, dropped = step(
+            jax.tree.map(jnp.copy, params), optimizer.init(params), rng,
+            jnp.asarray(feat_sh), jnp.asarray(adj_sh),
+            ids, labels, mask,
+        )
+        return p, float(loss), int(dropped)
+
+    p_a, loss_a, dropped_a = run(jax.random.key(7))
+    assert dropped_a == 0
+    assert np.isfinite(loss_a)
+    flat, _ = jax.tree_util.tree_flatten(p_a)
+    assert all(np.isfinite(np.asarray(x)).all() for x in flat)
+
+    _, loss_a2, _ = run(jax.random.key(7))
+    assert loss_a == loss_a2  # deterministic per rng
+    _, loss_b, _ = run(jax.random.key(8))
+    assert loss_a != loss_b   # dropout masks realized
+
+    # params moved away from init
+    moved = jax.tree_util.tree_flatten(
+        jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                     p_a, params)
+    )[0]
+    assert max(moved) > 0
