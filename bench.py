@@ -209,8 +209,8 @@ def measure_secondaries():
     """Short chunked-mode measurements of the non-headline paths so the
     BENCH_r* record catches regressions beyond supervised-mean-zipf
     (round-4 VERDICT item 4): gcn, identity_dim, uniform ids, the
-    unsupervised three-tower step, the fused meanpool path, and the
-    serving embed sweep. Reuses benchmarks/agg_sweep.py's builders
+    unsupervised three-tower step, the fused meanpool path, the
+    mean+in-kernel-dropout path, and the serving embed sweep. Reuses benchmarks/agg_sweep.py's builders
     verbatim so executables hit the persistent compile cache shared
     with the sweep artifacts (AGG_SWEEP.jsonl). Any single failure is
     recorded as an error string, never fatal to the headline."""
