@@ -233,8 +233,11 @@ def test_kernel_dropout_statistics_tpu(np_rng):
     assert (out3 != out).any()
 
 
-@pytest.mark.parametrize("aggregator", ["mean", "gcn", "meanpool"])
-def test_sage_embed_fused_dropout_trains(toy_graph, aggregator):
+@pytest.mark.parametrize("aggregator,identity_dim",
+                         [("mean", 0), ("gcn", 0), ("meanpool", 0),
+                          ("mean", 4)])
+def test_sage_embed_fused_dropout_trains(toy_graph, aggregator,
+                                         identity_dim):
     """dropout > 0 keeps the fused path engaged (round-5: in-kernel
     dropout): the training forward is finite and stochastic-per-key,
     parameter grads flow, and eval (deterministic=True) is unaffected
@@ -258,6 +261,7 @@ def test_sage_embed_fused_dropout_trains(toy_graph, aggregator):
         feature_dim=feats.shape[1],
         aggregator=aggregator,
         concat=aggregator != "gcn",
+        identity_dim=identity_dim,
         num_nodes=g.num_nodes,
         dropout=0.3,
         fused_gather=True,
