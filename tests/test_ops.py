@@ -231,6 +231,29 @@ def test_kernel_dropout_statistics_tpu(np_rng):
         feats, idx, drop_rate=0.4, drop_key=jax.random.key(12)
     ))
     assert (out3 != out).any()
+    # B > 1024 splits into per-chunk kernel calls whose keys are
+    # fold_in-decorrelated: identical rows in different chunks must
+    # realize different masks (verified on hardware 2026-08-19:
+    # zero-fracs 0.3994/0.4015, masks differ)
+    big_idx = jnp.zeros((2048, 1), jnp.int32)
+    big = np.asarray(fused_gather_mean(
+        feats[:64], big_idx, drop_rate=0.4, drop_key=jax.random.key(5)
+    ))
+    assert (((big[:1024] == 0) != (big[1024:] == 0))).any()
+
+
+def test_gather_mean_dedup_with_dropout_falls_back_to_plain(np_rng):
+    """dedup cannot express per-duplicate masks, so dedup=True with
+    drop_rate > 0 routes through the plain path with dropout intact
+    (fallback on CPU): matches the non-dedup call with the same key."""
+    feats = jnp.asarray(np_rng.standard_normal((20, 16)).astype(np.float32))
+    idx = jnp.asarray(np_rng.integers(0, 20, (8, 5), dtype=np.int32))
+    key = jax.random.key(4)
+    a = fused_gather_mean(feats, idx, dedup=True, drop_rate=0.3,
+                          drop_key=key)
+    b = fused_gather_mean(feats, idx, dedup=False, drop_rate=0.3,
+                          drop_key=key)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 @pytest.mark.parametrize("aggregator,identity_dim",
