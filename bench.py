@@ -205,7 +205,7 @@ def preflight(timeout_s: float = 150.0):
     os._exit(3 if res["status"] == "wedged" else 4)
 
 
-def measure_secondaries():
+def measure_secondaries(deadline_s: float = 1e9):
     """Short chunked-mode measurements of the non-headline paths so the
     BENCH_r* record catches regressions beyond supervised-mean-zipf
     (round-4 VERDICT item 4): gcn, identity_dim, uniform ids, the
@@ -222,8 +222,12 @@ def measure_secondaries():
         from benchmarks import agg_sweep
     except Exception as exc:  # pragma: no cover
         return {"error": f"agg_sweep import failed: {exc}"}
+    t0 = time.perf_counter()
     for name in ("gcn", "identity64", "mean_uniform", "unsup_mean",
                  "meanpool_fused", "mean_drop"):
+        if time.perf_counter() - t0 > deadline_s:
+            out[name + "_skipped"] = "time budget exhausted (cold cache?)"
+            continue
         agg, size, fused, sdist, idd, unsup, *extra = agg_sweep.CONFIGS[name]
         drop = extra[0] if extra else 0.0
         fn = (agg_sweep.run_unsupervised if unsup
@@ -235,6 +239,9 @@ def measure_secondaries():
             out[name + "_error"] = str(exc)[:200]
     # Serving: the whole-graph embed sweep (infer.py's hot path), same
     # shapes as benchmarks/serving_bench.py for compile-cache reuse.
+    if time.perf_counter() - t0 > deadline_s:
+        out["serving_skipped"] = "time budget exhausted (cold cache?)"
+        return out
     try:
         from graphsage_tpu.models.graphsage import LayerInfo, SAGEConfig
         from graphsage_tpu.models.unsupervised import (
@@ -279,6 +286,7 @@ def measure_secondaries():
 
 
 def main():
+    t_main0 = time.perf_counter()
     dist = "uniform" if "--dist=uniform" in sys.argv or (
         "uniform" in sys.argv
     ) else "zipf"
@@ -401,7 +409,15 @@ def main():
         "wall_frac": round(wall_frac, 4),
     }
     if not headline_only:
-        result["secondary"] = measure_secondaries()
+        # Deadline: on a COLD compile cache every secondary costs its
+        # own 60-100s remote compile; without a budget the documented
+        # `timeout 590 python bench.py` could be killed before the
+        # headline line prints (and a killed TPU process wedges the
+        # grant ~25 min -- CLAUDE.md). Remaining configs are recorded
+        # as skipped, never silently dropped.
+        result["secondary"] = measure_secondaries(
+            deadline_s=480.0 - (time.perf_counter() - t_main0)
+        )
     print(json.dumps(result))
     if dist == "zipf":  # the headline config; keep the committed record
         try:

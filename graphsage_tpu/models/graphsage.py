@@ -213,9 +213,11 @@ def aggregate_pyramid(
                     # gcn recombines the pre-reduced neighbor mean with
                     # self: (S*mean + self)/(S+1) — needs S
                     extra = {"n_samples": fanouts[0]}
-                elif config.aggregator in ("maxpool", "meanpool"):
-                    # already reduce(relu(mlp(x))) — [B*support, H] from
-                    # the fused kernel; skip the in-aggregator MLP
+                elif config.aggregator == "meanpool":
+                    # already mean(relu(mlp(x))) — [B*support, H] from
+                    # the fused pool kernel; skip the in-aggregator MLP
+                    # (maxpool never arrives pre-pooled: its fused
+                    # variant measured slower and is not routed)
                     extra = {"pre_pooled": True}
             else:
                 neigh = hidden[hop + 1].reshape(
@@ -367,8 +369,11 @@ def sage_embed(
         inner_fanout = config.fanouts[0]
         idx2 = samples[-1].reshape(-1, inner_fanout)
         mlp0 = params["aggs"][0]["mlp"][0]
+        # literal "mean": pool_fusable guarantees aggregator ==
+        # "meanpool" (maxpool's fused variant measured SLOWER and is
+        # NOT routed here — KERNEL_NOTES round-5)
         last_mean = gather_mlp_pool_train(
-            "max" if config.aggregator == "maxpool" else "mean",
+            "mean",
             inner_drop,
             features, idx2, mlp0["w"], mlp0["b"],
             (_key_words(jax.random.fold_in(drop_rng, _KERNEL_DROP_TAG))

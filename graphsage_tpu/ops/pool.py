@@ -296,16 +296,22 @@ def fused_gather_mlp_pool(features, idx, w, b, reduce: str = "max",
 
 # ------------------------------------------------------- training path
 
-def _route_pool_grad(dy, x, w, b, y, reduce, S):
+def _route_pool_grad(dy, x, w, b, reduce, S):
     """Cotangents (grad_w, grad_b) of reduce_s relu(x @ w + b) from the
     saved gathered rows x [B*S, F] — pure XLA, no re-gather. Matches
-    jnp.max's VJP exactly: even split among ties, relu' zero at z <= 0."""
+    jnp.max's VJP exactly: even split among ties, relu' zero at z <= 0.
+
+    The max tie mask compares h against a max RECOMPUTED from the same
+    z, never against the forward's saved y: the kernel forward's MXU
+    accumulation order can differ from this XLA dot by an ulp, and an
+    exact-equality compare against y would then silently zero the
+    routing for that element."""
     B = dy.shape[0]
     H = w.shape[1]
     z = jnp.dot(x, w, preferred_element_type=jnp.float32) + b
     if reduce == "max":
         h = jax.nn.relu(z).reshape(B, S, H)
-        m = (h == y[:, None, :]).astype(jnp.float32)
+        m = (h == jnp.max(h, axis=1, keepdims=True)).astype(jnp.float32)
         cnt = jnp.maximum(jnp.sum(m, axis=1, keepdims=True), 1.0)
         dh = (dy[:, None, :] * m / cnt).reshape(B * S, H)
     else:
@@ -371,14 +377,14 @@ def _train_fwd(reduce, drop_rate, features, idx, w, b, seed=None):
             jnp.dot(x, wp, preferred_element_type=jnp.float32) + b
         ).reshape(B, S, -1)
         y = jnp.max(h, axis=1) if reduce == "max" else jnp.mean(h, axis=1)
-    return y, (x, w, b, y, idx, features, seed)
+    return y, (x, w, b, idx, features, seed)
 
 
 def _train_bwd(reduce, drop_rate, res, dy):
-    x, w, b, y, idx, features, seed = res
+    x, w, b, idx, features, seed = res
     S = idx.shape[1]
     wp = _pad_w(features, w)
-    grad_wp, grad_b = _route_pool_grad(dy, x, wp, b, y, reduce, S)
+    grad_wp, grad_b = _route_pool_grad(dy, x, wp, b, reduce, S)
     grad_w = grad_wp[: w.shape[0]]
     # features/idx carry no gradient where this is engaged; the zero
     # feature cotangent is DCE'd by XLA (never consumed), and the int

@@ -35,11 +35,11 @@ from graphsage_tpu.nn.sampler import sample_from_rows
 
 
 def _drop_elems(key, x, rate: float):
-    """TF-style element dropout (zero w.p. rate, scale kept by 1/keep)
-    for the sharded split-mean's pre-reduce masks."""
-    keep = 1.0 - rate
-    mask = jax.random.bernoulli(key, keep, x.shape)
-    return jnp.where(mask, x * (1.0 / keep), 0.0)
+    """Element dropout for the sharded split-mean's pre-reduce masks —
+    one shared definition of the TF-style semantics (nn/init.py)."""
+    from graphsage_tpu.nn.init import dropout
+
+    return dropout(key, x, rate, deterministic=False)
 
 
 def shard_rows(table, n_shards: int, layout: str = "strided"):
