@@ -86,6 +86,16 @@ CONFIGS = {
                             0.5),
     "meanpool_drop":       ("meanpool", "small", False, "zipf", 0, False,
                             0.5),
+    # bf16 feature table (--feature_dtype bfloat16): halves the [B*S, F]
+    # take materialization bandwidth that floors the unfused/pooled paths
+    "maxpool_bf16":      ("maxpool", "small", False, "zipf:bf16", 0, False),
+    "seq_bf16":          ("seq",     "small", False, "zipf:bf16", 0, False),
+    "mean_nofused_bf16": ("mean",    "small", False, "zipf:bf16", 0, False),
+    # (the Pallas kernels gate to 4-byte dtypes -- KERNEL_NOTES round-2
+    # fact: bf16 halves XLA's bandwidth but not the kernel's DMA-issue
+    # count -- so bf16 rows always ride the XLA paths)
+    "meanpool_bf16":     ("meanpool", "small", False, "zipf:bf16", 0,
+                          False),
 }
 
 
@@ -100,13 +110,15 @@ def zipf_adjacency(rng, alpha: float = 1.05):
 def build_graph(dist: str):
     from graphsage_tpu.ops.gather import pad_feature_dim
 
+    dist, _, tag = dist.partition(":")
+    dtype = jnp.bfloat16 if tag == "bf16" else jnp.float32
     rng = np.random.default_rng(0)
     features = jnp.asarray(pad_feature_dim(
         np.vstack([
             rng.standard_normal((NUM_NODES, FEAT_DIM)).astype(np.float32),
             np.zeros((1, FEAT_DIM), dtype=np.float32),
-        ])
-    ))
+        ]), dtype,
+    )).astype(dtype)
     if dist == "zipf":
         adj = jnp.asarray(zipf_adjacency(rng))
     elif dist == "zipf_scattered":

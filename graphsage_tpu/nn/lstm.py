@@ -35,8 +35,11 @@ def lstm_last_output(params, seq, lengths, forget_bias: float = 1.0):
     """
     n, s, _ = seq.shape
     hidden_dim = params["kernel"].shape[1] // 4
-    h0 = jnp.zeros((n, hidden_dim), dtype=seq.dtype)
-    c0 = jnp.zeros((n, hidden_dim), dtype=seq.dtype)
+    # State is f32 regardless of the input dtype: the gate matmul
+    # accumulates in f32 (preferred_element_type), so a bf16 carry
+    # would be a scan carry-dtype mismatch (and a precision loss).
+    h0 = jnp.zeros((n, hidden_dim), dtype=jnp.float32)
+    c0 = jnp.zeros((n, hidden_dim), dtype=jnp.float32)
 
     def step(carry, inp):
         h, c, t = carry

@@ -288,3 +288,25 @@ def test_all_aggregators_jit_and_grad():
         g = jax.jit(jax.grad(loss))(p)
         flat, _ = jax.tree.flatten(g)
         assert all(np.isfinite(np.asarray(x)).all() for x in flat), name
+
+
+def test_seq_aggregator_bfloat16_inputs(np_rng):
+    """--feature_dtype bfloat16 feeds the aggregators bf16 neighbor
+    rows; the LSTM's f32 carry must not trip the scan dtype check
+    (regression: bf16 h0/c0 vs f32 gate outputs crashed the scan)."""
+    import jax
+    import jax.numpy as jnp
+
+    from graphsage_tpu.nn.aggregators import apply_seq, init_seq
+
+    params = init_seq(jax.random.key(0), 16, 8)
+    self_vecs = np_rng.standard_normal((4, 16)).astype(np.float32)
+    neigh = np_rng.standard_normal((4, 5, 16)).astype(np.float32)
+    out32 = apply_seq(params, jnp.asarray(self_vecs),
+                      jnp.asarray(neigh), act=jax.nn.relu, concat=True)
+    out16 = apply_seq(params, jnp.asarray(self_vecs),
+                      jnp.asarray(neigh).astype(jnp.bfloat16),
+                      act=jax.nn.relu, concat=True)
+    assert np.isfinite(np.asarray(out16, dtype=np.float32)).all()
+    np.testing.assert_allclose(np.asarray(out16, dtype=np.float32),
+                               np.asarray(out32), rtol=5e-2, atol=5e-2)
