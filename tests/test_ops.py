@@ -29,14 +29,19 @@ def test_pad_feature_dim_dtype_aware(np_rng):
     assert pad_feature_dim(np.zeros((2, 256)), jnp.bfloat16).shape[1] == 256
 
 
-def test_feature_dtype_bfloat16_trains(tmp_path):
+@pytest.mark.parametrize("model", ["graphsage_mean", "gcn",
+                                   "graphsage_maxpool",
+                                   "graphsage_meanpool", "graphsage_seq"])
+def test_feature_dtype_bfloat16_trains(tmp_path, model):
+    """--feature_dtype bfloat16 must train under EVERY aggregator
+    (regression: the seq/LSTM path crashed on a bf16 scan carry)."""
     from graphsage_tpu.data.synthetic import make_synthetic_graph
     from graphsage_tpu.train.supervised import train
     from tests.test_train import tiny_flags
 
     g = make_synthetic_graph(num_nodes=80, num_classes=3, feat_dim=8, seed=3)
     flags = tiny_flags(tmp_path, feature_dtype="bfloat16", epochs=1,
-                       max_total_steps=5)
+                       max_total_steps=5, model=model)
     result = train(flags, graph=g)
     assert np.isfinite(result["val_loss"])
 
