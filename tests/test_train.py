@@ -399,3 +399,18 @@ def test_n2v_learns_class_separable_embeddings(tmp_path):
     eval_acc = centroid_acc(Et, ids_t, g.is_val | g.is_test)
     assert train_acc > 0.7, f"train embeddings not separable: {train_acc}"
     assert eval_acc > 0.55, f"retrained eval embeddings at chance: {eval_acc}"
+
+
+def test_unsupervised_dropout_fused_trains(tmp_path, graph):
+    """round-5: the unsupervised (three-tower) trainer with dropout > 0
+    keeps the fused inner hop (in-kernel mask on TPU; jax.random on the
+    CPU fallback) — the step must run finite end-to-end."""
+    from graphsage_tpu.train.unsupervised import train
+
+    flags = tiny_flags(
+        tmp_path, epochs=1, max_total_steps=10, random_context=False,
+        save_embeddings=False, dropout=0.4, fused_gather=True,
+    )
+    result = train(flags, graph=graph)
+    assert np.isfinite(result["val_loss"])
+    assert 0.0 <= result["val_mrr"] <= 1.0
