@@ -51,7 +51,8 @@ WARMUP_CHUNKS = 2
 TRIALS = 3
 OUT_PATH = os.path.join(HERE, "AGG_SWEEP.jsonl")
 
-# (aggregator, model_size, fused, dist, identity_dim, unsup)
+# (aggregator, model_size, fused, dist, identity_dim, unsup[, dropout])
+# dist may carry a ":bf16" suffix to build the feature table in bfloat16
 CONFIGS = {
     "mean":         ("mean",     "small", True,  "zipf",    0, False),
     "mean_nofused": ("mean",     "small", False, "zipf",    0, False),
