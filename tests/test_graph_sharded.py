@@ -1608,3 +1608,59 @@ def test_sharded_dropout_fused_trains(mesh, toy_graph):
                      p_a, params)
     )[0]
     assert max(moved) > 0
+
+
+def test_single_shard_dropout_fused_trains(toy_graph):
+    """D=1 sharded path with dropout > 0: fuse_inner stays engaged and
+    routes the whole-mean through fused_gather_mean with the drop key
+    (in-kernel mask on TPU; jax.random fallback here). Deterministic
+    per rng, rng-sensitive, finite."""
+    from graphsage_tpu.data.adjacency import build_both_adjs
+    from graphsage_tpu.models.graphsage import LayerInfo, SAGEConfig
+    from graphsage_tpu.models.supervised import (
+        SupervisedConfig,
+        init_supervised_params,
+        make_optimizer,
+    )
+    from graphsage_tpu.ops.gather import pad_feature_dim
+
+    g = toy_graph
+    adj, _, _ = build_both_adjs(g, max_degree=8)
+    feats = pad_feature_dim(g.padded_features())
+    sage = SAGEConfig(
+        layers=(LayerInfo(4, 8), LayerInfo(3, 8)),
+        feature_dim=g.padded_features().shape[1],
+        aggregator="mean",
+        sampler_mode="first_k",
+        fused_gather=True,
+        dropout=0.4,
+        num_nodes=g.num_nodes,
+    )
+    sup = SupervisedConfig(sage=sage, num_classes=g.num_classes)
+    params = init_supervised_params(jax.random.key(0), sup)
+    optimizer = make_optimizer(0.05)
+
+    B = 16
+    ids = jnp.arange(B, dtype=jnp.int32)
+    labels = jnp.asarray(g.labels[:B])
+    mask = jnp.ones(B, dtype=jnp.float32)
+    mesh1 = Mesh(np.asarray(jax.devices()[:1]), ("graph",))
+    opt1 = optimizer.init(params)
+    step = make_sharded_supervised_step(
+        sup, optimizer, mesh1, capacity_factor=1.0,
+        params_like=params, opt_state_like=opt1,
+    )
+
+    def run(rng):
+        _, _, loss, _, dropped = step(
+            jax.tree.map(jnp.copy, params), optimizer.init(params), rng,
+            jnp.asarray(feats), jnp.asarray(adj), ids, labels, mask,
+        )
+        return float(loss), int(dropped)
+
+    la, da = run(jax.random.key(3))
+    assert da == 0 and np.isfinite(la)
+    la2, _ = run(jax.random.key(3))
+    assert la == la2
+    lb, _ = run(jax.random.key(4))
+    assert la != lb
