@@ -275,10 +275,12 @@ def measure_secondaries(deadline_s: float = 1e9):
         float(rows[0, 0])
         best = float("inf")
         for _ in range(2):
-            t0 = time.perf_counter()
+            # NOT t0 — that is the function-wide deadline epoch; shadowing
+            # it here would corrupt any budget check placed after this loop
+            t_trial = time.perf_counter()
             rows = sweep(uparams, features, adj, ids_all, key)
             float(rows[0, 0])
-            best = min(best, time.perf_counter() - t0)
+            best = min(best, time.perf_counter() - t_trial)
         out["serving_embed_nodes_per_sec"] = round(n_b * BATCH / best, 1)
     except Exception as exc:
         out["serving_error"] = str(exc)[:200]

@@ -54,6 +54,14 @@ from graphsage_tpu.ops.gather import (
 # v5e at the Reddit pool shape: tile 8 -> 5.1ms, 16 -> 6.8, 32 -> 4.7).
 TILE_B = 32
 
+# Test hook: when True, _kernel_ok accepts any input and the pallas_call
+# runs in the Mosaic interpreter, so CPU tests exercise the KERNEL
+# dispatch (seed plumbing, chunking, tile padding) through the model
+# path instead of silently comparing the XLA fallback against itself.
+# Never set in production; tests monkeypatch it (and should use distinct
+# shapes per flag value — jit caches don't key on this global).
+_FORCE_INTERPRET = False
+
 
 def gather_mlp_pool_reference(features, idx, w, b, reduce: str = "max"):
     """XLA reference: reduce_s relu(features[idx] @ w + b) -> [B, H]."""
@@ -152,6 +160,8 @@ def _kernel(idx_ref, *rest, S, F, H, tile_b, reduce, want_x,
 
 
 def _kernel_ok(features, w):
+    if _FORCE_INTERPRET:
+        return True
     N, F = features.shape
     H = w.shape[1]
     R = _row_sublanes(features.dtype)
@@ -238,6 +248,18 @@ def _pallas_pool(features, idx, w, b, reduce, want_x, tile_b,
     return (res[0], res[1]) if want_x else (res[0], None)
 
 
+def _fold_seed_words(seed, chunk):
+    """fold_in on the key behind two int32 seed words -> new words.
+
+    ``seed`` is jax key data bitcast to int32 (ops.gather._key_words);
+    round-trip it to a typed key so the per-chunk derivation is the
+    same threefry fold ops.gather's chunked dropout path uses."""
+    key = jax.random.wrap_key_data(
+        jax.lax.bitcast_convert_type(seed, jnp.uint32)
+    )
+    return _key_words(jax.random.fold_in(key, chunk))
+
+
 def _pool_fwd_impl(features, idx, w, b, reduce, want_x, tile_b,
                    interpret=False, drop_rate=0.0, seed=None):
     """Shape plumbing around _pallas_pool: chunking + tile padding.
@@ -249,9 +271,13 @@ def _pool_fwd_impl(features, idx, w, b, reduce, want_x, tile_b,
             _pool_fwd_impl(
                 features, idx[i:i + CHUNK], w, b, reduce, want_x,
                 tile_b, interpret, drop_rate,
-                # offset word 0 per chunk: tile t of chunk c must not
-                # reuse tile t of chunk 0's (s0, s1, t) seed triple
-                (seed + jnp.array([i // CHUNK, 0], jnp.int32)
+                # distinct per-chunk streams: tile t of chunk c must not
+                # reuse tile t of chunk 0's (s0, s1, t) seed triple.
+                # Derive chunk c's words by fold_in on the key the words
+                # came from (same mixing as ops.gather's chunk path) —
+                # NOT a raw +c on word 0, which would bet on adjacent
+                # hardware seeds being decorrelated.
+                (_fold_seed_words(seed, i // CHUNK)
                  if drop_rate > 0.0 else None),
             )
             for i in range(0, B, CHUNK)
@@ -286,6 +312,7 @@ def fused_gather_mlp_pool(features, idx, w, b, reduce: str = "max",
     to match). Kernel path requires F lane-aligned, H % 128 == 0, and a
     4-byte dtype; anything else falls back to the XLA reference.
     """
+    interpret = bool(interpret or _FORCE_INTERPRET)
     if not (interpret or _kernel_ok(features, w)):
         return gather_mlp_pool_reference(features, idx, w, b, reduce)
     wp = _pad_w(features, w)
@@ -349,7 +376,8 @@ def gather_mlp_pool_train(reduce, drop_rate, features, idx, w, b,
     if _kernel_ok(features, w):
         wp = _pad_w(features, w)
         y, _ = _pool_fwd_impl(features, idx, wp, b, reduce, False,
-                              TILE_B, drop_rate=drop_rate, seed=seed)
+                              TILE_B, interpret=_FORCE_INTERPRET,
+                              drop_rate=drop_rate, seed=seed)
         return y
     y, _ = _train_fwd(reduce, drop_rate, features, idx, w, b, seed)
     return y
@@ -361,6 +389,7 @@ def _train_fwd(reduce, drop_rate, features, idx, w, b, seed=None):
     if _kernel_ok(features, w):
         wp = _pad_w(features, w)
         y, x = _pool_fwd_impl(features, idx, wp, b, reduce, True, TILE_B,
+                              interpret=_FORCE_INTERPRET,
                               drop_rate=drop_rate, seed=seed)
     else:
         x = jnp.take(features, idx.reshape(-1), axis=0).astype(jnp.float32)

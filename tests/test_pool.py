@@ -199,6 +199,114 @@ def test_train_dropout_fallback_matches_masked_replica(setup):
                                    rtol=1e-4, atol=1e-5)
 
 
+def test_chunk_seed_derivation_is_fold_in():
+    """Per-chunk kernel seeds must come from jax.random.fold_in on the
+    underlying key (the same mixing ops.gather's chunk path uses), NOT
+    a raw +c on seed word 0 — adjacent hardware PRNG seeds are not
+    guaranteed decorrelated."""
+    from graphsage_tpu.ops.gather import _key_words
+    from graphsage_tpu.ops.pool import _fold_seed_words
+
+    key = jax.random.key(42)
+    seed = _key_words(key)
+    for c in (0, 1, 2, 7):
+        got = np.asarray(_fold_seed_words(seed, c))
+        want = np.asarray(_key_words(jax.random.fold_in(key, c)))
+        np.testing.assert_array_equal(got, want)
+    w0 = np.asarray(_fold_seed_words(seed, 0))
+    w1 = np.asarray(_fold_seed_words(seed, 1))
+    assert (w0 != w1).any()
+    # regression pin: NOT the old raw word-0 offset
+    assert not np.array_equal(
+        w1, np.asarray(seed) + np.array([1, 0], np.int32)
+    )
+
+
+def test_model_kernel_dispatch_interpret(monkeypatch):
+    """sage_embed's use_fused_pool branch driving the ACTUAL Pallas
+    kernel (Mosaic interpreter on CPU via the _FORCE_INTERPRET hook):
+    pins the model->kernel operand order, tile padding, and the custom
+    VJP residual path — which otherwise run only on real TPU (the plain
+    fused-vs-unfused tests compare the XLA fallback against itself on
+    CPU). Shapes here are deliberately distinct from the other model
+    tests: jit caches don't key on the hook."""
+    from graphsage_tpu.models.graphsage import (
+        LayerInfo,
+        SAGEConfig,
+        init_sage_params,
+        sage_embed,
+    )
+    from graphsage_tpu.ops import pool as pool_mod
+
+    rng = np.random.default_rng(6)
+    num_nodes = 22
+    f_dim = 72  # unique across the suite (see docstring)
+    feats = np.vstack([
+        rng.standard_normal((num_nodes, f_dim)).astype(np.float32),
+        np.zeros((1, f_dim), np.float32),
+    ])
+    features = jnp.asarray(pad_feature_dim(feats))
+    adj = jnp.asarray(rng.integers(
+        0, num_nodes, (num_nodes + 1, 5), dtype=np.int32))
+    ids = jnp.arange(6, dtype=jnp.int32)
+    base = SAGEConfig(
+        layers=(LayerInfo(3, 24), LayerInfo(2, 24)),
+        feature_dim=f_dim, aggregator="meanpool", concat=True,
+        num_nodes=num_nodes, sampler_mode="first_k",
+    )
+    params = init_sage_params(jax.random.key(3), base)
+    key = jax.random.key(4)
+
+    import dataclasses
+
+    cfg_f = dataclasses.replace(base, fused_gather=True)
+
+    def emb_sum(p, cfg):
+        return jnp.sum(sage_embed(p, features, adj, ids, key, cfg,
+                                  deterministic=True) ** 2)
+
+    out_plain = sage_embed(params, features, adj, ids, key, base, True)
+    g_plain = jax.grad(emb_sum)(params, base)
+
+    monkeypatch.setattr(pool_mod, "_FORCE_INTERPRET", True)
+    out_fused = sage_embed(params, features, adj, ids, key, cfg_f, True)
+    g_fused = jax.grad(emb_sum)(params, cfg_f)
+
+    np.testing.assert_allclose(np.asarray(out_fused),
+                               np.asarray(out_plain),
+                               rtol=1e-5, atol=1e-6)
+    flat_p, _ = jax.tree_util.tree_flatten(g_plain)
+    flat_f, _ = jax.tree_util.tree_flatten(g_fused)
+    for a, c in zip(flat_p, flat_f):
+        np.testing.assert_allclose(np.asarray(c), np.asarray(a),
+                                   rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.skipif(jax.default_backend() in ("cpu", "gpu"),
+                    reason="Mosaic PRNG statistics need real TPU")
+def test_pool_chunk_dropout_decorrelation_tpu():
+    """B > 1024 splits the pool kernel into per-chunk calls whose seeds
+    are fold_in-derived: identical rows in different chunks must realize
+    different dropout masks (the pool analogue of the gather kernel's
+    chunk test; verified on hardware 2026-08-20)."""
+    from graphsage_tpu.ops.gather import _key_words
+    from graphsage_tpu.ops.pool import _pad_w, _pool_fwd_impl
+
+    feats = jnp.asarray(pad_feature_dim(np.ones((64, 128), np.float32)))
+    idx = jnp.zeros((2048, 1), jnp.int32)
+    w = jnp.asarray(np.eye(128, dtype=np.float32))
+    b = jnp.zeros((128,), jnp.float32)
+    seed = _key_words(jax.random.key(21))
+    wp = _pad_w(feats, w)
+    _, x = _pool_fwd_impl(feats, idx, wp, b, "mean", True, 32,
+                          drop_rate=0.4, seed=seed)
+    x = np.asarray(x)  # the residual holds the DROPPED rows
+    m0, m1 = (x[:1024] == 0), (x[1024:] == 0)
+    assert (m0 != m1).any()
+    zf = (x == 0).mean()
+    assert abs(zf - 0.4) < 0.02, zf
+
+
 @pytest.mark.parametrize("reduce", ["max", "mean"])
 def test_train_dropout_interpret_residual_consistency(setup, reduce):
     """Kernel path (interpret) with dropout: whatever mask the PRNG
