@@ -411,7 +411,17 @@ def _sup_per_node_xent(sup_config, params, feat_local, adj_local, ids,
         return_stats=True,
     )
     emb = l2_normalize(emb, axis=1)
-    logits = apply_dense(params["head"], emb, act=None)
+    # Head-input dropout, like the single-device path (models/
+    # supervised.py supervised_logits; reference supervised_models.py
+    # builds node_pred with dropout=placeholders['dropout']). Same
+    # fold_in tag 7; rng here is already per-shard/per-step folded, so
+    # shards realize independent masks.
+    logits = apply_dense(
+        params["head"], emb, act=None,
+        dropout_rate=sup_config.sage.dropout,
+        rng=jax.random.fold_in(rng, 7),
+        deterministic=deterministic,
+    )
     if sup_config.sigmoid_loss:
         per_node = _sigmoid_xent(logits, labels) / sup_config.num_classes
     else:
@@ -419,13 +429,15 @@ def _sup_per_node_xent(sup_config, params, feat_local, adj_local, ids,
     return per_node, logits, dropped
 
 
-def _decay_term(params, sage_config, weight_decay, axis_name,
-                data_axis: str | None = None, head: bool = False):
-    """Weight-decay loss term on the sharded paths. The decay is
-    replicated work, so it divides by the TOTAL shard count — the psum
-    of shard losses/grads then reproduces the single-device value.
-    ``head=True`` adds the supervised head (w, b) like the reference's
-    supervised model."""
+def _decay_sum(params, sage_config, weight_decay, head: bool = False):
+    """Undivided weight-decay sum — the exact term the single-device
+    supervised_loss/unsupervised_loss add (models/supervised.py:112-117).
+    Used directly by the sharded EVAL paths, whose xent is already
+    psum'd (every shard holds the replicated global loss, so the full
+    term adds once); the TRAINING losses use _decay_term, which divides
+    this by the shard count so the later loss/grad psum reproduces the
+    single-device value. ``head=True`` adds the supervised head (w, b)
+    like the reference's supervised model."""
     if weight_decay <= 0.0:
         return 0.0
     from graphsage_tpu.models.graphsage import sage_decay_weights
@@ -433,10 +445,21 @@ def _decay_term(params, sage_config, weight_decay, axis_name,
     decayed = sage_decay_weights(params, sage_config)
     if head:
         decayed = decayed + [params["head"]["w"], params["head"]["b"]]
+    return weight_decay * sum(0.5 * jnp.sum(w * w) for w in decayed)
+
+
+def _decay_term(params, sage_config, weight_decay, axis_name,
+                data_axis: str | None = None, head: bool = False):
+    """Weight-decay loss term on the sharded TRAINING paths. The decay
+    is replicated work, so it divides by the TOTAL shard count — the
+    psum of shard losses/grads then reproduces the single-device
+    value."""
+    if weight_decay <= 0.0:
+        return 0.0
     D = jax.lax.axis_size(axis_name)
     if data_axis:
         D = D * jax.lax.axis_size(data_axis)
-    return weight_decay * sum(0.5 * jnp.sum(w * w) for w in decayed) / D
+    return _decay_sum(params, sage_config, weight_decay, head) / D
 
 
 def _unsup_pair_metrics(out1, out2, neg, mask, unsup_config):
@@ -814,6 +837,13 @@ def make_sharded_supervised_chunk_runner(
 
     config = sup_config.sage
     num_nodes = config.num_nodes
+    if num_nodes <= 0:
+        raise ValueError(
+            "config.sage.num_nodes must be set (> 0): it is the dummy "
+            "pad id for the device-resident id stream — left at the "
+            "default 0 it would silently mask out node 0 instead of "
+            "the pad rows"
+        )
 
     def local_loss(params, feat_local, adj_local, ids, labels, mask, rng,
                    global_mask_sum):
@@ -923,6 +953,10 @@ def make_sharded_supervised_eval(
         )
         denom = jnp.maximum(jax.lax.psum(jnp.sum(mask), axis_name), 1.0)
         loss = jax.lax.psum(jnp.sum(per_node * mask), axis_name) / denom
+        # decay term like the single-device eval (supervised_loss):
+        # keeps val/test losses comparable across --graph_shards settings
+        loss = loss + _decay_sum(params, config, sup_config.weight_decay,
+                                 head=True)
         return (loss, supervised_predict(logits, sup_config),
                 jax.lax.psum(dropped, axis_name))
 
@@ -969,6 +1003,13 @@ def make_sharded_unsupervised_chunk_runner(
 
     config = unsup_config.sage
     num_nodes = config.num_nodes
+    if num_nodes <= 0:
+        raise ValueError(
+            "config.sage.num_nodes must be set (> 0): it is the dummy "
+            "pad id for the device-resident pair stream — left at the "
+            "default 0 it would silently mask out node 0 instead of "
+            "the pad rows"
+        )
     red = (data_axis, axis_name) if data_axis else axis_name
     _check_batch_divisible(mesh, batch_size, axis_name, data_axis)
 
@@ -1130,6 +1171,8 @@ def make_sharded_unsupervised_eval(
         raw, mrr = _unsup_pair_metrics(out1, out2, neg, mask, unsup_config)
         denom = jnp.maximum(jax.lax.psum(jnp.sum(mask), axis_name), 1.0)
         loss = jax.lax.psum(raw, axis_name) / denom
+        # decay term like the single-device eval (unsupervised_loss)
+        loss = loss + _decay_sum(params, config, unsup_config.weight_decay)
         return loss, _global_masked_mrr(mrr, mask, axis_name), dropped
 
     rep = P()
@@ -1278,6 +1321,13 @@ def make_sharded_supervised_eval_sweep(
 
     config = sup_config.sage
     num_nodes = config.num_nodes
+    if num_nodes <= 0:
+        raise ValueError(
+            "config.sage.num_nodes must be set (> 0): it is the dummy "
+            "pad id for the device-resident id stream — left at the "
+            "default 0 it would silently mask out node 0 instead of "
+            "the pad rows"
+        )
     red = (data_axis, axis_name) if data_axis else axis_name
     _check_batch_divisible(mesh, batch_size, axis_name, data_axis)
 
@@ -1301,6 +1351,10 @@ def make_sharded_supervised_eval_sweep(
                 jax.lax.psum(jnp.sum(mask), red), 1.0
             )
             loss = jax.lax.psum(jnp.sum(per_node * mask), red) / denom
+            # per-batch decay like the single-device sweep
+            # (supervised_loss inside make_eval_sweep's body)
+            loss = loss + _decay_sum(params, config,
+                                     sup_config.weight_decay, head=True)
             p = supervised_predict(logits, sup_config)
             return (
                 losses.at[i].set(loss),
@@ -1360,6 +1414,13 @@ def make_sharded_unsup_eval_sweep(
 
     config = unsup_config.sage
     num_nodes = config.num_nodes
+    if num_nodes <= 0:
+        raise ValueError(
+            "config.sage.num_nodes must be set (> 0): it is the dummy "
+            "pad id for the device-resident pair stream — left at the "
+            "default 0 it would silently mask out node 0 instead of "
+            "the pad rows"
+        )
     red = (data_axis, axis_name) if data_axis else axis_name
     _check_batch_divisible(mesh, batch_size, axis_name, data_axis)
 
@@ -1402,6 +1463,11 @@ def make_sharded_unsup_eval_sweep(
                                            unsup_config)
             k = jax.lax.psum(jnp.sum(mask), red)
             loss = jax.lax.psum(raw, red)
+            # per-batch decay, k-weighted like the single-device sweep
+            # (unsupervised_loss's per-batch value accumulates as
+            # loss * k; the final /cnt then reproduces decay exactly)
+            loss = loss + _decay_sum(params, config,
+                                     unsup_config.weight_decay) * k
             mrr = _global_masked_mrr(mrr, mask, red)
             dropped = jax.lax.psum(d1 + d2 + d3, red)
             return (loss_sum + loss, mrr_sum + mrr * k, cnt + k,

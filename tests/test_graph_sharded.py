@@ -1664,3 +1664,250 @@ def test_single_shard_dropout_fused_trains(toy_graph):
     assert la == la2
     lb, _ = run(jax.random.key(4))
     assert la != lb
+
+
+def test_sharded_eval_losses_include_weight_decay(mesh, toy_graph):
+    """Sharded eval/eval-sweep losses must carry the same weight-decay
+    term the single-device evals report (supervised_loss inside
+    make_eval_step/make_eval_sweep) so val/test losses are comparable
+    across --graph_shards settings: (a) exact-value parity with the
+    single-device evals under first_k; (b) the wd-on minus wd-off delta
+    equals the full decay sum."""
+    import dataclasses
+
+    from graphsage_tpu.data.adjacency import build_both_adjs
+    from graphsage_tpu.models.graphsage import (
+        LayerInfo,
+        SAGEConfig,
+        sage_decay_weights,
+    )
+    from graphsage_tpu.models.supervised import (
+        SupervisedConfig,
+        init_supervised_params,
+    )
+    from graphsage_tpu.parallel.graph_sharded import (
+        make_sharded_supervised_eval,
+        make_sharded_supervised_eval_sweep,
+    )
+    from graphsage_tpu.train.supervised import make_eval_step, make_eval_sweep
+
+    g = toy_graph
+    adj, _, _ = build_both_adjs(g, max_degree=8)
+    feats = g.padded_features()
+    sage = SAGEConfig(
+        layers=(LayerInfo(4, 8), LayerInfo(3, 8)),
+        feature_dim=feats.shape[1],
+        aggregator="mean",
+        sampler_mode="first_k",
+        num_nodes=g.num_nodes,  # the sweep's dummy pad id
+    )
+    wd = 0.05
+    sup = SupervisedConfig(sage=sage, num_classes=g.num_classes,
+                           sigmoid_loss=False, weight_decay=wd)
+    params = init_supervised_params(jax.random.key(0), sup)
+
+    B = 16
+    ids = jnp.arange(B, dtype=jnp.int32)
+    labels = jnp.asarray(g.labels[:B])
+    mask = jnp.ones(B, dtype=jnp.float32)
+    rng = jax.random.key(9)
+    feat_sh, _ = shard_rows(feats, D)
+    adj_sh, _ = shard_rows(adj, D)
+    sh_args = (jnp.asarray(feat_sh), jnp.asarray(adj_sh), ids, labels,
+               mask, rng)
+
+    ref_loss, _ = make_eval_step(sup)(
+        params, jnp.asarray(feats), jnp.asarray(adj), ids, labels, mask,
+        rng,
+    )
+    loss, _, dropped = make_sharded_supervised_eval(
+        sup, mesh, capacity_factor=8.0
+    )(params, *sh_args)
+    assert int(dropped) == 0
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
+
+    # the decay delta is exactly the full (undivided) decay sum
+    sup0 = dataclasses.replace(sup, weight_decay=0.0)
+    loss0, _, _ = make_sharded_supervised_eval(
+        sup0, mesh, capacity_factor=8.0
+    )(params, *sh_args)
+    decayed = sage_decay_weights(params, sage)
+    decayed += [params["head"]["w"], params["head"]["b"]]
+    expected = wd * sum(0.5 * float(jnp.sum(w * w)) for w in decayed)
+    np.testing.assert_allclose(float(loss) - float(loss0), expected,
+                               rtol=1e-5)
+
+    # sweep: per-batch losses match the single-device sweep
+    n_b = 2
+    ids_all = np.full((n_b * B,), g.num_nodes, dtype=np.int32)
+    ids_all[:24] = np.arange(24)
+    labels_table = np.zeros((g.num_nodes + 1, g.num_classes), np.float32)
+    labels_table[: g.num_nodes] = np.asarray(g.labels, np.float32)
+    ref_losses, _ = make_eval_sweep(sup, B, g.num_nodes)(
+        params, jnp.asarray(feats), jnp.asarray(adj),
+        jnp.asarray(ids_all), jnp.asarray(labels_table), rng,
+    )
+    sh_losses, _, d2 = make_sharded_supervised_eval_sweep(
+        sup, mesh, B, capacity_factor=8.0
+    )(params, jnp.asarray(feat_sh), jnp.asarray(adj_sh),
+      jnp.asarray(ids_all), jnp.asarray(labels_table), rng)
+    assert int(d2) == 0
+    np.testing.assert_allclose(np.asarray(sh_losses),
+                               np.asarray(ref_losses), rtol=1e-5)
+
+
+def test_sharded_unsup_eval_losses_include_weight_decay(mesh, toy_graph):
+    """Unsupervised sharded eval and eval sweep: the wd-on minus wd-off
+    loss delta equals the full decay sum (the single-device
+    unsupervised_loss term; negatives differ between the sharded and
+    single-device rng streams, so the delta identity is the exact
+    invariant to pin)."""
+    import dataclasses
+
+    from graphsage_tpu.data.adjacency import build_both_adjs
+    from graphsage_tpu.models.graphsage import (
+        LayerInfo,
+        SAGEConfig,
+        sage_decay_weights,
+    )
+    from graphsage_tpu.models.unsupervised import (
+        UnsupervisedConfig,
+        init_unsupervised_params,
+    )
+    from graphsage_tpu.nn.negative import unigram_cdf
+    from graphsage_tpu.parallel.graph_sharded import (
+        make_sharded_unsup_eval_sweep,
+        make_sharded_unsupervised_eval,
+    )
+
+    g = toy_graph
+    adj, deg, _ = build_both_adjs(g, max_degree=8)
+    feats = g.padded_features()
+    sage = SAGEConfig(
+        layers=(LayerInfo(4, 8), LayerInfo(3, 8)),
+        feature_dim=feats.shape[1],
+        aggregator="mean",
+        sampler_mode="first_k",
+        num_nodes=g.num_nodes,
+    )
+    wd = 0.02
+    unsup = UnsupervisedConfig(sage=sage, neg_sample_size=4,
+                               weight_decay=wd)
+    unsup0 = dataclasses.replace(unsup, weight_decay=0.0)
+    params = init_unsupervised_params(jax.random.key(1), unsup)
+    expected = wd * sum(
+        0.5 * float(jnp.sum(w * w)) for w in sage_decay_weights(params, sage)
+    )
+
+    B = 16
+    b1 = jnp.arange(B, dtype=jnp.int32)
+    b2 = jnp.arange(B, 2 * B, dtype=jnp.int32)
+    mask = jnp.ones(B, dtype=jnp.float32)
+    cdf = jnp.asarray(np.asarray(unigram_cdf(deg)))
+    rng = jax.random.key(3)
+    feat_sh, _ = shard_rows(feats, D)
+    adj_sh, _ = shard_rows(adj, D)
+    args = (params, jnp.asarray(feat_sh), jnp.asarray(adj_sh), b1, b2,
+            mask, cdf, rng)
+
+    loss, _, d = make_sharded_unsupervised_eval(
+        unsup, mesh, capacity_factor=8.0)(*args)
+    loss0, _, _ = make_sharded_unsupervised_eval(
+        unsup0, mesh, capacity_factor=8.0)(*args)
+    assert int(d) == 0
+    np.testing.assert_allclose(float(loss) - float(loss0), expected,
+                               rtol=1e-5)
+
+    n_b = 2
+    pairs = np.full((n_b * B, 2), g.num_nodes, dtype=np.int32)
+    pairs[:24, 0] = np.arange(24)
+    pairs[:24, 1] = np.arange(24)[::-1]
+    sweep_args = (params, jnp.asarray(feat_sh), jnp.asarray(adj_sh),
+                  jnp.asarray(pairs), cdf, rng)
+    sl, _, sd = make_sharded_unsup_eval_sweep(
+        unsup, mesh, B, capacity_factor=8.0)(*sweep_args)
+    sl0, _, _ = make_sharded_unsup_eval_sweep(
+        unsup0, mesh, B, capacity_factor=8.0)(*sweep_args)
+    assert int(sd) == 0
+    # decay is k-weighted per batch, so the edge-weighted mean carries
+    # it through exactly
+    np.testing.assert_allclose(float(sl) - float(sl0), expected,
+                               rtol=1e-5)
+
+
+def test_sharded_head_input_dropout_matches_replica(mesh, toy_graph):
+    """With dropout > 0 the sharded supervised forward drops the HEAD
+    INPUT like the single-device path (models/supervised.py
+    supervised_logits: dropout on the l2-normalized embedding under
+    fold_in tag 7, then the dense head). A manual composition must
+    reproduce _sup_per_node_xent's logits exactly — pins both the
+    placement and the rng tag."""
+    from graphsage_tpu.data.adjacency import build_both_adjs
+    from graphsage_tpu.models.graphsage import (
+        LayerInfo,
+        SAGEConfig,
+        l2_normalize,
+    )
+    from graphsage_tpu.models.supervised import (
+        SupervisedConfig,
+        init_supervised_params,
+    )
+    from graphsage_tpu.nn.init import dropout as drop_fn
+    from graphsage_tpu.parallel.graph_sharded import (
+        _sup_per_node_xent,
+        sharded_sage_embed,
+    )
+
+    g = toy_graph
+    adj, _, _ = build_both_adjs(g, max_degree=8)
+    feats = g.padded_features()
+    sage = SAGEConfig(
+        layers=(LayerInfo(4, 8), LayerInfo(3, 8)),
+        feature_dim=feats.shape[1],
+        aggregator="mean",
+        sampler_mode="first_k",
+        dropout=0.4,
+        num_nodes=g.num_nodes,
+    )
+    sup = SupervisedConfig(sage=sage, num_classes=g.num_classes)
+    params = init_supervised_params(jax.random.key(0), sup)
+    B = 16
+    ids = jnp.arange(B, dtype=jnp.int32)
+    labels = jnp.asarray(g.labels[:B])
+    rng = jax.random.key(11)
+    feat_sh, _ = shard_rows(feats, D)
+    adj_sh, _ = shard_rows(adj, D)
+
+    def fused(params, feat, adj, ids, labels, rng):
+        _, logits, _ = _sup_per_node_xent(
+            sup, params, feat, adj, ids, labels, rng, "graph", 8.0,
+            deterministic=False,
+        )
+        return logits
+
+    def replica(params, feat, adj, ids, labels, rng):
+        emb, _ = sharded_sage_embed(
+            params, feat, adj, ids, rng, sage, "graph", 8.0,
+            deterministic=False, return_stats=True,
+        )
+        emb = l2_normalize(emb, axis=1)
+        emb = drop_fn(jax.random.fold_in(rng, 7), emb, sage.dropout, False)
+        return (jnp.dot(emb, params["head"]["w"],
+                        preferred_element_type=jnp.float32)
+                + params["head"]["b"])
+
+    rep, sh = P(), P("graph")
+    specs = dict(mesh=mesh, in_specs=(rep, sh, sh, sh, sh, rep),
+                 out_specs=sh, check_vma=False)
+    args = (params, jnp.asarray(feat_sh), jnp.asarray(adj_sh), ids,
+            labels, rng)
+    out_f = jax.jit(shard_map(fused, **specs))(*args)
+    out_r = jax.jit(shard_map(replica, **specs))(*args)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_r),
+                               rtol=1e-6, atol=1e-7)
+    # and the mask is actually realized: a different rng changes logits
+    out_g = jax.jit(shard_map(fused, **specs))(
+        params, jnp.asarray(feat_sh), jnp.asarray(adj_sh), ids, labels,
+        jax.random.key(12),
+    )
+    assert np.abs(np.asarray(out_g) - np.asarray(out_f)).max() > 0
