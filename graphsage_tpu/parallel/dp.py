@@ -17,7 +17,11 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from graphsage_tpu.models.node2vec import Node2VecConfig, node2vec_loss
+from graphsage_tpu.models.node2vec import (
+    Node2VecConfig,
+    mask_context_gradients,
+    node2vec_loss,
+)
 from graphsage_tpu.models.supervised import SupervisedConfig, supervised_loss
 from graphsage_tpu.models.unsupervised import (
     UnsupervisedConfig,
@@ -75,6 +79,13 @@ def make_supervised_chunk_runner(config: SupervisedConfig, optimizer,
     over ``model`` — the --n_model_shards path.
     """
     num_nodes = config.sage.num_nodes
+    if num_nodes <= 0:
+        raise ValueError(
+            "config.sage.num_nodes must be set (> 0): it is the dummy "
+            "pad id for the device-resident stream — left at the "
+            "default 0 it would silently mask out node 0 instead of "
+            "the pad rows"
+        )
     batch_sharding = None
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec
@@ -188,19 +199,28 @@ def make_unsupervised_chunk_runner(config: UnsupervisedConfig, optimizer,
 
 def make_node2vec_chunk_runner(config: Node2VecConfig, optimizer,
                                batch_size: int, num_nodes: int,
-                               context_update_mask=None):
+                               with_update_mask: bool = False):
     """n_steps node2vec steps per dispatch (see
     make_supervised_chunk_runner; n_steps is a traced bound).
     ``num_nodes`` is the dummy id used to pad the pair stream; the
     trainable tables have num_nodes+1 rows so dummy lookups are
     in-bounds and masked out of the loss.
 
+    With ``with_update_mask`` the runner takes a trailing
+    ``update_mask`` [num_nodes+1] float argument (1.0 = trainable
+    context row) multiplied into the context-table grads — the retrain
+    freeze. It is a RUNTIME argument, not a factory closure: a
+    closed-over [N+1] table would embed an O(N) constant in the jit
+    graph, which the remote-compile tunnel rejects (HTTP 413, see
+    CLAUDE.md "Environment hazards").
+
     runner(params, opt_state, shadow_mrr, rng, pairs_perm, uni_logits,
-           start_step, n_steps) -> (params, opt_state, shadow_mrr, loss,
-           mrr)
+           start_step, n_steps[, update_mask]) -> (params, opt_state,
+           shadow_mrr, loss, mrr)
     """
 
-    def one_step(carry, step_idx, pairs_perm, uni_logits, rng):
+    def one_step(carry, step_idx, pairs_perm, uni_logits, rng,
+                 update_mask):
         params, opt_state, shadow = carry
         pair = jax.lax.dynamic_slice(
             pairs_perm, (step_idx * batch_size, 0), (batch_size, 2)
@@ -211,11 +231,8 @@ def make_node2vec_chunk_runner(config: Node2VecConfig, optimizer,
         (loss, aux), grads = jax.value_and_grad(
             node2vec_loss, has_aux=True
         )(params, b1, b2, mask, uni_logits, step_rng, config)
-        if context_update_mask is not None:
-            grads = dict(grads)
-            grads["context"] = (
-                grads["context"] * context_update_mask[:, None]
-            )
+        if with_update_mask:
+            grads = mask_context_gradients(grads, update_mask)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         mrr = aux["mrr"]
@@ -225,11 +242,11 @@ def make_node2vec_chunk_runner(config: Node2VecConfig, optimizer,
         return (params, opt_state, shadow), (loss, mrr)
 
     def runner(params, opt_state, shadow_mrr, rng, pairs_perm, uni_logits,
-               start_step, n_steps):
+               start_step, n_steps, update_mask=None):
         def body(j, state):
             carry, _ = state
             return one_step(carry, start_step + j, pairs_perm, uni_logits,
-                            rng)
+                            rng, update_mask)
 
         init = ((params, opt_state, shadow_mrr),
                 (jnp.zeros(()), jnp.zeros(())))
@@ -242,18 +259,18 @@ def make_node2vec_chunk_runner(config: Node2VecConfig, optimizer,
 
 
 def make_node2vec_train_step(config: Node2VecConfig, optimizer,
-                             context_update_mask=None):
-    """step(params, opt_state, rng, b1, b2, mask, unigram_logits)."""
+                             with_update_mask: bool = False):
+    """step(params, opt_state, rng, b1, b2, mask, unigram_logits
+    [, update_mask]). ``update_mask`` is a runtime argument for the
+    same remote-compile reason as make_node2vec_chunk_runner."""
 
-    def step(params, opt_state, rng, b1, b2, mask, unigram_logits):
+    def step(params, opt_state, rng, b1, b2, mask, unigram_logits,
+             update_mask=None):
         (loss, aux), grads = jax.value_and_grad(
             node2vec_loss, has_aux=True
         )(params, b1, b2, mask, unigram_logits, rng, config)
-        if context_update_mask is not None:
-            grads = dict(grads)
-            grads["context"] = (
-                grads["context"] * context_update_mask[:, None]
-            )
+        if with_update_mask:
+            grads = mask_context_gradients(grads, update_mask)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss, aux
@@ -355,6 +372,13 @@ def make_dp_supervised_chunk_runner(
 
     config = sup_config.sage
     num_nodes = config.num_nodes
+    if num_nodes <= 0:
+        raise ValueError(
+            "config.sage.num_nodes must be set (> 0): it is the dummy "
+            "pad id for the device-resident stream — left at the "
+            "default 0 it would silently mask out node 0 instead of "
+            "the pad rows"
+        )
 
     def local_loss(params, features, adj, ids, labels, mask, rng,
                    global_mask_sum):
@@ -471,6 +495,13 @@ def make_dp_unsupervised_chunk_runner(
 
     config = unsup_config.sage
     num_nodes = config.num_nodes
+    if num_nodes <= 0:
+        raise ValueError(
+            "config.sage.num_nodes must be set (> 0): it is the dummy "
+            "pad id for the device-resident stream — left at the "
+            "default 0 it would silently mask out node 0 instead of "
+            "the pad rows"
+        )
 
     def mapped(params, opt_state, shadow, rng, features, adj, pairs_perm,
                neg_cdf, start_step, n_steps):

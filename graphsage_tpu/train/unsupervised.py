@@ -215,7 +215,8 @@ def train(flags: TrainFlags, graph=None) -> dict:
         return _train_n2v(flags, graph, deg, batcher, log_dir)
 
     if flags.graph_shards > 1:
-        return _train_sharded(flags, graph, deg, batcher, log_dir)
+        return _train_sharded(flags, graph, deg, batcher, log_dir,
+                              train_adj_np, full_adj_np)
 
     # Deferred table but a single-device run: materialize it fully into
     # a copy (per-host shard loading only pays off under --graph_shards).
@@ -471,13 +472,18 @@ def _train_n2v(flags: TrainFlags, graph, deg, batcher: EdgeBatcher,
         padded[: len(pairs)] = pairs
         padded_dev = jnp.asarray(padded)
 
+        # update_mask rides as a runner ARGUMENT (a closed-over [N+1]
+        # table would embed an O(N) constant in the jit graph — the
+        # remote-compile tunnel rejects those, CLAUDE.md)
         run_chunk = jax.jit(
             make_node2vec_chunk_runner(
                 config, optimizer, B, dummy,
-                context_update_mask=update_mask,
+                with_update_mask=update_mask is not None,
             ),
             donate_argnums=(0, 1),
         )
+        mask_dev = (None if update_mask is None
+                    else jnp.asarray(update_mask))
 
         shadow = jnp.asarray(-1.0)
         total = 0
@@ -495,7 +501,8 @@ def _train_n2v(flags: TrainFlags, graph, deg, batcher: EdgeBatcher,
                         max(1, max_steps + 1 - total))
                 t = time.time()
                 params, opt_state, shadow, loss, mrr = run_chunk(
-                    params, opt_state, shadow, lk, perm, uni_logits, it, n
+                    params, opt_state, shadow, lk, perm, uni_logits, it,
+                    n, mask_dev,
                 )
                 it += n
                 total += n
@@ -564,14 +571,15 @@ def _save_n2v_embeddings(params, batcher, graph, out_dir, mod=""):
 
 
 def _train_sharded(flags: TrainFlags, graph, deg, batcher: EdgeBatcher,
-                   log_dir: str) -> dict:
+                   log_dir: str, train_adj_np, full_adj_np) -> dict:
     """--graph_shards N unsupervised path: row-sharded tables + all-to-all
-    halo exchange (parallel/graph_sharded.py); host-driven per-batch loop."""
+    halo exchange (parallel/graph_sharded.py); host-driven per-batch loop.
+    The padded adjacencies arrive from train() — rebuilding them here
+    would double the O(N * max_degree) host-ingest cost at startup."""
     from jax.sharding import Mesh
 
     from jax.sharding import PartitionSpec as P
 
-    from graphsage_tpu.data.adjacency import build_both_adjs
     from graphsage_tpu.parallel.distributed import put_global
     from graphsage_tpu.parallel.graph_sharded import (
         make_sharded_unsupervised_eval,
@@ -600,9 +608,6 @@ def _train_sharded(flags: TrainFlags, graph, deg, batcher: EdgeBatcher,
         mesh = Mesh(np.asarray(devices[:D]), ("graph",))
 
     config = build_unsupervised_config(flags, graph)
-    train_adj_np, _, full_adj_np = build_both_adjs(
-        graph, flags.max_degree, seed=flags.seed
-    )
     from graphsage_tpu.train.supervised import _place_sharded_features
 
     layout = flags.shard_layout

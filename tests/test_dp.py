@@ -252,3 +252,46 @@ def test_dp_step_matches_single_device_pool_seq(mesh, toy_graph, agg):
         )
 
     jax.tree_util.tree_map_with_path(check, p1, p2)
+
+
+def test_n2v_chunk_runner_update_mask_is_runtime_arg():
+    """The retrain freeze mask rides as a RUNNER ARGUMENT (a closed-over
+    [N+1] table would embed an O(N) constant in the jit graph, which
+    the remote-compile tunnel rejects — CLAUDE.md). Frozen context rows
+    must not move; unfrozen ones must."""
+    from graphsage_tpu.models import node2vec as n2v
+    from graphsage_tpu.nn.negative import unigram_logits
+    from graphsage_tpu.parallel.dp import make_node2vec_chunk_runner
+
+    N = 50
+    config = n2v.Node2VecConfig(num_nodes=N + 1, dim=8, neg_sample_size=4,
+                                learning_rate=0.5)
+    params = n2v.init_node2vec_params(jax.random.key(0), config)
+    ctx_before = np.asarray(params["context"]).copy()
+    optimizer = n2v.make_optimizer(0.5)
+    opt_state = optimizer.init(params)
+
+    B, n_steps = 8, 4
+    rng_np = np.random.default_rng(2)
+    pairs = rng_np.integers(0, N, (n_steps * B, 2)).astype(np.int32)
+    pairs[:, 1] = np.arange(n_steps * B) % N  # contexts cover all ids
+    uni = jnp.asarray(np.asarray(unigram_logits(
+        np.ones((N + 1,), np.float32))))
+    update_mask = np.zeros((N + 1,), np.float32)
+    update_mask[25:] = 1.0
+
+    runner = jax.jit(make_node2vec_chunk_runner(
+        config, optimizer, B, N, with_update_mask=True,
+    ))
+    params2, _, _, loss, _ = runner(
+        params, opt_state, jnp.asarray(-1.0), jax.random.key(5),
+        jnp.asarray(pairs), uni, 0, n_steps, jnp.asarray(update_mask),
+    )
+    assert np.isfinite(float(loss))
+    ctx_after = np.asarray(params2["context"])
+    np.testing.assert_array_equal(ctx_after[:25], ctx_before[:25])
+    assert np.abs(ctx_after[25:] - ctx_before[25:]).max() > 0
+    # target table is never frozen
+    assert np.abs(
+        np.asarray(params2["target"]) - np.asarray(params["target"])
+    ).max() > 0
