@@ -35,6 +35,19 @@ from graphsage_tpu.parallel.mesh import (
 )
 
 
+def _require_num_nodes(num_nodes: int, stream: str = "stream") -> None:
+    """Factories that pad device-resident streams with the dummy id
+    ``num_nodes`` must reject an unset config: left at the default 0,
+    the pad id would silently mask out node 0 instead of the pad rows."""
+    if num_nodes <= 0:
+        raise ValueError(
+            "config.sage.num_nodes must be set (> 0): it is the dummy "
+            f"pad id for the device-resident {stream} — left at the "
+            "default 0 it would silently mask out node 0 instead of "
+            "the pad rows"
+        )
+
+
 def make_supervised_train_step(config: SupervisedConfig, optimizer):
     """step(params, opt_state, rng, features, adj, ids, labels, mask)
     -> (params, opt_state, loss, logits)."""
@@ -79,13 +92,7 @@ def make_supervised_chunk_runner(config: SupervisedConfig, optimizer,
     over ``model`` — the --n_model_shards path.
     """
     num_nodes = config.sage.num_nodes
-    if num_nodes <= 0:
-        raise ValueError(
-            "config.sage.num_nodes must be set (> 0): it is the dummy "
-            "pad id for the device-resident stream — left at the "
-            "default 0 it would silently mask out node 0 instead of "
-            "the pad rows"
-        )
+    _require_num_nodes(num_nodes, "id stream")
     batch_sharding = None
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec
@@ -243,6 +250,8 @@ def make_node2vec_chunk_runner(config: Node2VecConfig, optimizer,
 
     def runner(params, opt_state, shadow_mrr, rng, pairs_perm, uni_logits,
                start_step, n_steps, update_mask=None):
+        _check_update_mask(with_update_mask, update_mask)
+
         def body(j, state):
             carry, _ = state
             return one_step(carry, start_step + j, pairs_perm, uni_logits,
@@ -258,6 +267,24 @@ def make_node2vec_chunk_runner(config: Node2VecConfig, optimizer,
     return runner
 
 
+def _check_update_mask(with_update_mask: bool, update_mask) -> None:
+    """Trace-time check that the factory flag and the runtime mask agree:
+    flag set but no mask would crash opaquely inside
+    mask_context_gradients; mask passed with the flag unset would train
+    with the freeze silently dropped."""
+    if with_update_mask and update_mask is None:
+        raise ValueError(
+            "with_update_mask=True but no update_mask argument was "
+            "passed — the context-table freeze would crash at trace time"
+        )
+    if not with_update_mask and update_mask is not None:
+        raise ValueError(
+            "update_mask passed but the factory was built with "
+            "with_update_mask=False — the freeze would be silently "
+            "ignored"
+        )
+
+
 def make_node2vec_train_step(config: Node2VecConfig, optimizer,
                              with_update_mask: bool = False):
     """step(params, opt_state, rng, b1, b2, mask, unigram_logits
@@ -266,6 +293,7 @@ def make_node2vec_train_step(config: Node2VecConfig, optimizer,
 
     def step(params, opt_state, rng, b1, b2, mask, unigram_logits,
              update_mask=None):
+        _check_update_mask(with_update_mask, update_mask)
         (loss, aux), grads = jax.value_and_grad(
             node2vec_loss, has_aux=True
         )(params, b1, b2, mask, unigram_logits, rng, config)
@@ -372,13 +400,7 @@ def make_dp_supervised_chunk_runner(
 
     config = sup_config.sage
     num_nodes = config.num_nodes
-    if num_nodes <= 0:
-        raise ValueError(
-            "config.sage.num_nodes must be set (> 0): it is the dummy "
-            "pad id for the device-resident stream — left at the "
-            "default 0 it would silently mask out node 0 instead of "
-            "the pad rows"
-        )
+    _require_num_nodes(num_nodes, "id stream")
 
     def local_loss(params, features, adj, ids, labels, mask, rng,
                    global_mask_sum):
@@ -495,13 +517,7 @@ def make_dp_unsupervised_chunk_runner(
 
     config = unsup_config.sage
     num_nodes = config.num_nodes
-    if num_nodes <= 0:
-        raise ValueError(
-            "config.sage.num_nodes must be set (> 0): it is the dummy "
-            "pad id for the device-resident stream — left at the "
-            "default 0 it would silently mask out node 0 instead of "
-            "the pad rows"
-        )
+    _require_num_nodes(num_nodes, "pair stream")
 
     def mapped(params, opt_state, shadow, rng, features, adj, pairs_perm,
                neg_cdf, start_step, n_steps):

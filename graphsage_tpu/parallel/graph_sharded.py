@@ -27,6 +27,7 @@ from jax import shard_map
 
 import optax
 
+from graphsage_tpu.parallel.dp import _require_num_nodes
 from graphsage_tpu.models.graphsage import (
     SAGEConfig,
     aggregate_pyramid,
@@ -837,13 +838,7 @@ def make_sharded_supervised_chunk_runner(
 
     config = sup_config.sage
     num_nodes = config.num_nodes
-    if num_nodes <= 0:
-        raise ValueError(
-            "config.sage.num_nodes must be set (> 0): it is the dummy "
-            "pad id for the device-resident id stream — left at the "
-            "default 0 it would silently mask out node 0 instead of "
-            "the pad rows"
-        )
+    _require_num_nodes(num_nodes, "id stream")
 
     def local_loss(params, feat_local, adj_local, ids, labels, mask, rng,
                    global_mask_sum):
@@ -1003,13 +998,7 @@ def make_sharded_unsupervised_chunk_runner(
 
     config = unsup_config.sage
     num_nodes = config.num_nodes
-    if num_nodes <= 0:
-        raise ValueError(
-            "config.sage.num_nodes must be set (> 0): it is the dummy "
-            "pad id for the device-resident pair stream — left at the "
-            "default 0 it would silently mask out node 0 instead of "
-            "the pad rows"
-        )
+    _require_num_nodes(num_nodes, "pair stream")
     red = (data_axis, axis_name) if data_axis else axis_name
     _check_batch_divisible(mesh, batch_size, axis_name, data_axis)
 
@@ -1321,13 +1310,7 @@ def make_sharded_supervised_eval_sweep(
 
     config = sup_config.sage
     num_nodes = config.num_nodes
-    if num_nodes <= 0:
-        raise ValueError(
-            "config.sage.num_nodes must be set (> 0): it is the dummy "
-            "pad id for the device-resident id stream — left at the "
-            "default 0 it would silently mask out node 0 instead of "
-            "the pad rows"
-        )
+    _require_num_nodes(num_nodes, "id stream")
     red = (data_axis, axis_name) if data_axis else axis_name
     _check_batch_divisible(mesh, batch_size, axis_name, data_axis)
 
@@ -1414,13 +1397,7 @@ def make_sharded_unsup_eval_sweep(
 
     config = unsup_config.sage
     num_nodes = config.num_nodes
-    if num_nodes <= 0:
-        raise ValueError(
-            "config.sage.num_nodes must be set (> 0): it is the dummy "
-            "pad id for the device-resident pair stream — left at the "
-            "default 0 it would silently mask out node 0 instead of "
-            "the pad rows"
-        )
+    _require_num_nodes(num_nodes, "pair stream")
     red = (data_axis, axis_name) if data_axis else axis_name
     _check_batch_divisible(mesh, batch_size, axis_name, data_axis)
 

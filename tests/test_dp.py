@@ -295,3 +295,60 @@ def test_n2v_chunk_runner_update_mask_is_runtime_arg():
     assert np.abs(
         np.asarray(params2["target"]) - np.asarray(params["target"])
     ).max() > 0
+
+
+def test_n2v_train_step_update_mask_and_flag_mismatch_guard():
+    """make_node2vec_train_step honors the runtime freeze mask like the
+    chunk runner, and both factories reject a flag/mask mismatch at
+    trace time instead of crashing opaquely (flag set, mask missing) or
+    silently dropping the freeze (mask passed, flag unset)."""
+    import pytest
+
+    from graphsage_tpu.models import node2vec as n2v
+    from graphsage_tpu.nn.negative import unigram_logits
+    from graphsage_tpu.parallel.dp import (
+        make_node2vec_chunk_runner,
+        make_node2vec_train_step,
+    )
+
+    N = 40
+    config = n2v.Node2VecConfig(num_nodes=N + 1, dim=8, neg_sample_size=4,
+                                learning_rate=0.5)
+    params = n2v.init_node2vec_params(jax.random.key(0), config)
+    ctx_before = np.asarray(params["context"]).copy()
+    optimizer = n2v.make_optimizer(0.5)
+    opt_state = optimizer.init(params)
+
+    B = 8
+    b1 = jnp.arange(B, dtype=jnp.int32)
+    b2 = jnp.arange(B, 2 * B, dtype=jnp.int32)  # contexts: rows 8..15
+    mask = jnp.ones(B, dtype=jnp.float32)
+    uni = jnp.asarray(np.asarray(unigram_logits(
+        np.ones((N + 1,), np.float32))))
+    update_mask = np.zeros((N + 1,), np.float32)
+    update_mask[12:] = 1.0  # freeze context rows < 12
+
+    step = jax.jit(make_node2vec_train_step(
+        config, optimizer, with_update_mask=True,
+    ))
+    params2, _, loss, _ = step(
+        params, opt_state, jax.random.key(3), b1, b2, mask, uni,
+        jnp.asarray(update_mask),
+    )
+    assert np.isfinite(float(loss))
+    ctx_after = np.asarray(params2["context"])
+    np.testing.assert_array_equal(ctx_after[:12], ctx_before[:12])
+    assert np.abs(ctx_after[12:16] - ctx_before[12:16]).max() > 0
+
+    # mismatch guards, both directions, both factories
+    with pytest.raises(ValueError, match="no update_mask"):
+        step(params, opt_state, jax.random.key(3), b1, b2, mask, uni)
+    step_nomask = make_node2vec_train_step(config, optimizer)
+    with pytest.raises(ValueError, match="with_update_mask=False"):
+        step_nomask(params, opt_state, jax.random.key(3), b1, b2, mask,
+                    uni, jnp.asarray(update_mask))
+    runner = make_node2vec_chunk_runner(config, optimizer, B, N,
+                                        with_update_mask=True)
+    with pytest.raises(ValueError, match="no update_mask"):
+        runner(params, opt_state, jnp.asarray(-1.0), jax.random.key(5),
+               jnp.zeros((B, 2), jnp.int32), uni, 0, 1)
