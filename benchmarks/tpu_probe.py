@@ -27,6 +27,14 @@ import sys
 import threading
 import time
 
+# Make the documented ``python benchmarks/tpu_probe.py`` invocation work
+# from anywhere: script-mode puts benchmarks/ (not the repo root) on
+# sys.path. Do NOT fix this via PYTHONPATH=/root/repo — that drops the
+# axon sitecustomize dir and kills TPU registration (CLAUDE.md).
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
 
 def guarded_probe(timeout_s: float = 150.0) -> dict:
     """One watchdogged device op; classify the grant state.
