@@ -292,8 +292,9 @@ def sage_embed(
     # fused in one kernel with a custom VJP (ops/pool.py) — measured
     # 12-24% faster than the XLA path in chunked mode. maxpool is NOT
     # routed here: its tie-mask backward re-reads the residual twice
-    # and measured SLOWER than XLA (KERNEL_NOTES round-5); it rides the
-    # row-gather kernel below instead. The MLP mixes feature columns,
+    # and measured SLOWER than XLA (KERNEL_NOTES round-5); with the
+    # OPT-IN rows_gather flag it can ride the row-gather kernel below,
+    # otherwise it uses the plain XLA take. The MLP mixes feature columns,
     # so the identity-embedding column split used by the mean path
     # cannot apply — guarded to identity_dim == 0.
     pool_fusable = (

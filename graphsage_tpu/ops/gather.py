@@ -133,6 +133,30 @@ def _pipelined_block(idx_ref, feat_ref, scratch, sems, *, S, F, tile_b,
     return scratch[slot].astype(jnp.float32).reshape(tile_b, S, F)
 
 
+def _inkernel_dropout(x, seed_ref, drop_rate, stub_prng):
+    """Per-element dropout over a 2-D [rows, F] f32 block with the
+    on-chip Mosaic PRNG, shared by the mean and pool kernels.
+
+    Each grid step reseeds with (seed0, seed1 + t * golden-ratio-odd)
+    — Mosaic caps prng_seed at two words, and the mix keeps adjacent
+    tiles' streams far apart (int32 wrap-around is fine; only
+    distinctness within a call matters for tile-mask independence).
+    ``stub_prng`` (interpret mode — no prng_seed lowering there)
+    replaces the bits with zeros = all-keep, matching the Mosaic
+    interpreter's own PRNG stub; the 1/keep scale path still runs.
+    """
+    if stub_prng:
+        bits = jnp.zeros(x.shape, jnp.uint32)
+    else:
+        pltpu.prng_seed(
+            seed_ref[0],
+            seed_ref[1] + pl.program_id(0) * (-1640531527),
+        )
+        bits = pltpu.bitcast(pltpu.prng_random_bits(x.shape), jnp.uint32)
+    return jnp.where(bits < _dropout_threshold(drop_rate),
+                     x * (1.0 / (1.0 - drop_rate)), 0.0)
+
+
 def _gather_mean_kernel(idx_ref, *rest, S, F, tile_b, n_buf,
                         drop_rate=0.0, stub_prng=False):
     """One grid step computes tile_b output MEAN rows [tile_b, F].
@@ -156,25 +180,9 @@ def _gather_mean_kernel(idx_ref, *rest, S, F, tile_b, n_buf,
     block = _pipelined_block(idx_ref, feat_ref, scratch, sems,
                              S=S, F=F, tile_b=tile_b, n_buf=n_buf)
     if drop_rate > 0.0:
-        if stub_prng:
-            bits = jnp.zeros((tile_b * S, F), jnp.uint32)
-        else:
-            # Mosaic caps prng_seed at two words: mix the tile id into
-            # word 1 (golden-ratio odd constant spreads adjacent t far
-            # apart; int32 wrap-around is fine — only distinctness
-            # within a call matters for tile-mask independence).
-            pltpu.prng_seed(
-                seed_ref[0],
-                seed_ref[1] + pl.program_id(0) * (-1640531527),
-            )
-            bits = pltpu.bitcast(
-                pltpu.prng_random_bits((tile_b * S, F)), jnp.uint32
-            )
-        keep_mask = (bits < _dropout_threshold(drop_rate)).reshape(
-            tile_b, S, F
-        )
-        block = jnp.where(keep_mask, block * (1.0 / (1.0 - drop_rate)),
-                          0.0)
+        block = _inkernel_dropout(
+            block.reshape(tile_b * S, F), seed_ref, drop_rate, stub_prng
+        ).reshape(tile_b, S, F)
     out_ref[:, :] = jnp.sum(block, axis=1) * (1.0 / S)
 
 

@@ -43,8 +43,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from graphsage_tpu.ops.gather import (
-    _dropout_threshold,
+    _inkernel_dropout,
     _key_words,
+    _pipelined_block,
     _row_sublanes,
     pad_feature_dim,
 )
@@ -88,65 +89,18 @@ def _kernel(idx_ref, *rest, S, F, H, tile_b, reduce, want_x,
         x_ref, scratch, sems = rest
     else:
         x_ref, (scratch, sems) = None, rest
-    t = pl.program_id(0)
-    n_tiles = pl.num_programs(0)
-
-    # one DMA semaphore per ROW (shared by its S same-sized copies):
-    # the sflag space caps total semaphores at ~512, which 2*tile_b*S
-    # per-copy semaphores would blow past at tile_b=32
-    def issue(tile, slot):
-        def body(r, _):
-            for s in range(S):
-                pltpu.make_async_copy(
-                    feat_ref.at[idx_ref[tile * tile_b + r, s]],
-                    scratch.at[slot, r * S + s],
-                    sems.at[slot, r],
-                ).start()
-            return 0
-
-        jax.lax.fori_loop(0, tile_b, body, 0)
-
-    def wait(slot):
-        def body(r, _):
-            for s in range(S):
-                pltpu.make_async_copy(
-                    feat_ref.at[0], scratch.at[slot, r * S + s],
-                    sems.at[slot, r],
-                ).wait()
-            return 0
-
-        jax.lax.fori_loop(0, tile_b, body, 0)
-
-    slot = jax.lax.rem(t, 2)
-
-    @pl.when(t == 0)
-    def _():
-        issue(0, 0)
-
-    @pl.when(t + 1 < n_tiles)
-    def _():
-        issue(t + 1, jax.lax.rem(t + 1, 2))
-
-    wait(slot)
-    x = scratch[slot].astype(jnp.float32).reshape(tile_b * S, F)
+    # ops.gather's shared double-buffered row-DMA pipeline (one DMA
+    # semaphore per ROW keeps the ~512-sflag budget safe at tile_b=32)
+    x = _pipelined_block(idx_ref, feat_ref, scratch, sems,
+                         S=S, F=F, tile_b=tile_b, n_buf=2
+                         ).reshape(tile_b * S, F)
     if drop_rate > 0.0:
         # Per-element dropout on the MLP's input rows (the reference's
         # placement: Dense drops its input, aggregators.py:168-174).
         # The DROPPED rows are what streams out as the residual, so the
         # XLA backward recomputes the exact same z without needing the
-        # mask. stub_prng (interpret mode; no prng lowering there) uses
-        # zero bits = all-keep, matching the Mosaic interpreter's stub.
-        if stub_prng:
-            bits = jnp.zeros((tile_b * S, F), jnp.uint32)
-        else:
-            # Mosaic caps prng_seed at two words: mix the tile id into
-            # word 1 (golden-ratio odd constant; int32 wrap is fine)
-            pltpu.prng_seed(seed_ref[0], seed_ref[1] + t * (-1640531527))
-            bits = pltpu.bitcast(
-                pltpu.prng_random_bits((tile_b * S, F)), jnp.uint32
-            )
-        x = jnp.where(bits < _dropout_threshold(drop_rate),
-                      x * (1.0 / (1.0 - drop_rate)), 0.0)
+        # mask.
+        x = _inkernel_dropout(x, seed_ref, drop_rate, stub_prng)
     if want_x:
         x_ref[:, :] = x
     h = jax.nn.relu(
@@ -373,6 +327,10 @@ def gather_mlp_pool_train(reduce, drop_rate, features, idx, w, b,
     # skip the residual stream.
     if drop_rate == 0.0:
         return fused_gather_mlp_pool(features, idx, w, b, reduce=reduce)
+    if seed is None:
+        # same guard as _train_fwd: without it the kernel branch would
+        # pass a None operand into pallas_call and fail opaquely
+        raise ValueError("drop_rate > 0 requires seed")
     if _kernel_ok(features, w):
         wp = _pad_w(features, w)
         y, _ = _pool_fwd_impl(features, idx, wp, b, reduce, False,

@@ -101,15 +101,24 @@ def test_kernel_residual_stream_matches_take(setup):
 
 @pytest.mark.parametrize("agg", ["maxpool", "meanpool"])
 def test_model_fused_matches_unfused(agg):
-    """sage_embed with fused_gather engages the pooled kernel path for
-    maxpool/meanpool; outputs and parameter gradients must match the
-    plain path under the deterministic first_k sampler."""
+    """sage_embed's fast-path routing is gradient-exact vs the plain
+    path under the deterministic first_k sampler. meanpool engages the
+    fused gather->MLP->pool route via fused_gather=True (XLA fallback
+    branch of gather_mlp_pool_train on CPU — a distinct code path from
+    the plain aggregator). maxpool has NO fused-pool route; it must opt
+    in via rows_gather=True, exercised here with the row-gather kernel
+    interpret-mocked so the routing really diverges from plain take
+    (kernel dispatch itself is pinned in test_ops/test_model_kernel_
+    dispatch_interpret)."""
+    import unittest.mock
+
     from graphsage_tpu.models.graphsage import (
         LayerInfo,
         SAGEConfig,
         init_sage_params,
         sage_embed,
     )
+    from graphsage_tpu.ops import gather as gather_mod
 
     rng = np.random.default_rng(2)
     num_nodes = 30
@@ -133,15 +142,33 @@ def test_model_fused_matches_unfused(agg):
         return jnp.sum(sage_embed(p, features, adj, ids, key, cfg,
                                   deterministic=True) ** 2)
 
-    cfg_f = dataclasses.replace(base, fused_gather=True)
+    import contextlib
+
+    if agg == "meanpool":
+        cfg_f = dataclasses.replace(base, fused_gather=True)
+        patch = contextlib.nullcontext()
+    else:
+        cfg_f = dataclasses.replace(base, rows_gather=True)
+        orig_rows = gather_mod.fused_gather_rows
+
+        def interp_rows(*a, **kw):
+            kw["interpret"] = True
+            return orig_rows(*a, **kw)
+
+        patch = unittest.mock.patch.object(
+            gather_mod, "fused_gather_rows", side_effect=interp_rows
+        )
+
     out_plain = sage_embed(params, features, adj, ids, key, base, True)
-    out_fused = sage_embed(params, features, adj, ids, key, cfg_f, True)
+    with patch:
+        out_fused = sage_embed(params, features, adj, ids, key, cfg_f,
+                               True)
+        g_fused = jax.grad(emb_sum)(params, cfg_f)
     np.testing.assert_allclose(np.asarray(out_fused),
                                np.asarray(out_plain),
                                rtol=1e-5, atol=1e-6)
 
     g_plain = jax.grad(emb_sum)(params, base)
-    g_fused = jax.grad(emb_sum)(params, cfg_f)
     flat_p, _ = jax.tree_util.tree_flatten(g_plain)
     flat_f, _ = jax.tree_util.tree_flatten(g_fused)
     for a, c in zip(flat_p, flat_f):
