@@ -65,6 +65,11 @@ def _add_common(p: argparse.ArgumentParser, defaults: TrainFlags):
                    default=d.dedup_gather,
                    help="skip duplicate-sample DMAs in the fused gather "
                         "(wins on low-degree/power-law graphs)")
+    p.add_argument("--rows_gather", action=argparse.BooleanOptionalAction,
+                   default=d.rows_gather,
+                   help="direct row-DMA kernel for the pooled/seq "
+                        "aggregators' innermost-hop row gather "
+                        "(measured at XLA-take parity on v5e; opt-in)")
     p.add_argument("--feature_dtype", choices=("float32", "bfloat16"),
                    default=d.feature_dtype,
                    help="on-device feature table dtype (bfloat16 halves "

@@ -70,6 +70,7 @@ class TrainFlags:
                                        # "first_k" is deterministic
     fused_gather: bool = True   # Pallas gather+mean for the innermost hop
     dedup_gather: bool = False  # skip duplicate-sample DMAs (low-degree win)
+    rows_gather: bool = False   # row-DMA kernel for pooled/seq row gathers
     feature_dtype: str = "float32"  # "bfloat16" halves gather bandwidth
     graph_shards: int = 1       # row-shard tables over N devices (P2)
     data_shards: int = 1        # pure data parallelism over N devices (P1)

@@ -51,6 +51,7 @@ def build_supervised_config(flags: TrainFlags, graph) -> SupervisedConfig:
         sampler_mode=flags.sampler_mode,
         fused_gather=flags.fused_gather,
         dedup_gather=flags.dedup_gather,
+        rows_gather=flags.rows_gather,
         shard_layout=flags.shard_layout,
     )
     return SupervisedConfig(

@@ -52,6 +52,7 @@ def build_unsupervised_config(flags: TrainFlags, graph) -> UnsupervisedConfig:
         sampler_mode=flags.sampler_mode,
         fused_gather=flags.fused_gather,
         dedup_gather=flags.dedup_gather,
+        rows_gather=flags.rows_gather,
         shard_layout=flags.shard_layout,
     )
     return UnsupervisedConfig(

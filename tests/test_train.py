@@ -246,6 +246,20 @@ def test_dataclass_flags_roundtrip():
     assert f2.model == "gcn"
 
 
+def test_rows_gather_flag_reaches_config(graph):
+    """--rows_gather plumbs through to SAGEConfig in both trainers (the
+    opt-in row-DMA gather for pooled/seq aggregators)."""
+    from graphsage_tpu.train.supervised import build_supervised_config
+    from graphsage_tpu.train.unsupervised import build_unsupervised_config
+
+    f = TrainFlags(train_prefix="/tmp/x/x", model="graphsage_maxpool",
+                   rows_gather=True)
+    assert build_supervised_config(f, graph).sage.rows_gather
+    assert build_unsupervised_config(f, graph).sage.rows_gather
+    f0 = TrainFlags(train_prefix="/tmp/x/x")
+    assert not build_supervised_config(f0, graph).sage.rows_gather
+
+
 def test_one_layer_dispatch(tmp_path, graph):
     """samples_2=0 -> single-layer graphsage_mean (reference
     supervised_train.py:157-161)."""
